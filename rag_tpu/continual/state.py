@@ -1,0 +1,146 @@
+"""Checkpoint / resume for the growable network.
+
+The reference only SAVES (torch.save per task, src/run.py:194-196) and ships
+no load path at all (README.md:83 solicits one). Here checkpointing is a
+first-class round trip. Because the model's *shape* grows per task, a
+checkpoint is (a) a JSON manifest — genotypes, per-site candidate counts and
+birth tasks, per-task arch maps, optional search state — and (b) an .npz of
+every parameter/stat leaf under deterministic keys. Restore rebuilds the
+registry from the manifest, re-creates specs from the stored genotypes, and
+loads arrays bit-exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from rag_tpu.models.growable import GrowableStereoNet, Unit
+from rag_tpu.models.stereo import (
+    HEAD_NAMES,
+    SITE_NAMES,
+    build_head_specs,
+    build_site_specs,
+)
+from rag_tpu.ops.cell import canonicalize_gene
+from rag_tpu.search.genotype import Genotype
+
+
+def _flatten(tree, prefix: str, out: Dict[str, np.ndarray]):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            _flatten(tree[k], f"{prefix}/{k}", out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten(keys_vals: Dict[str, np.ndarray], prefix: str):
+    """Rebuild the nested dict for everything under ``prefix/``."""
+    tree: Dict = {}
+    plen = len(prefix) + 1
+    for key, val in keys_vals.items():
+        if not key.startswith(prefix + "/"):
+            continue
+        parts = key[plen:].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def _geno_json(g: Genotype):
+    return {"normal": [list(p) for p in g.normal],
+            "reduce": [list(p) for p in g.reduce]}
+
+
+def _geno_from(d) -> Genotype:
+    return Genotype(normal=canonicalize_gene(d["normal"]),
+                    reduce=canonicalize_gene(d["reduce"]))
+
+
+def save_checkpoint(directory: str, net: GrowableStereoNet, task: int,
+                    extra: Optional[Dict] = None):
+    os.makedirs(directory, exist_ok=True)
+    manifest = {
+        "task": task,
+        "genotypes": [_geno_json(g) for g in net.genotypes],
+        "archis": net.archis,
+        "lengths": {s: len(net.units[s]) for s in SITE_NAMES},
+        "num_heads": {h: len(net.heads[h]) for h in HEAD_NAMES},
+        "born": {s: [u.born_task for u in net.units[s]] for s in SITE_NAMES},
+        "p": [p.tolist() for p in net.p] if net.p is not None else None,
+        "extra": extra or {},
+    }
+    arrays: Dict[str, np.ndarray] = {}
+    for s in SITE_NAMES:
+        for i, u in enumerate(net.units[s]):
+            _flatten(u.params, f"units/{s}/{i}/params", arrays)
+            _flatten(u.stats, f"units/{s}/{i}/stats", arrays)
+    for h in HEAD_NAMES:
+        for i, u in enumerate(net.heads[h]):
+            _flatten(u.params, f"heads/{h}/{i}/params", arrays)
+            _flatten(u.stats, f"heads/{h}/{i}/stats", arrays)
+
+    with open(os.path.join(directory, f"manifest_task{task}.json"), "w") as f:
+        json.dump(manifest, f)
+    np.savez(os.path.join(directory, f"arrays_task{task}.npz"), **arrays)
+
+
+def latest_task(directory: str) -> Optional[int]:
+    tasks = []
+    for name in os.listdir(directory) if os.path.isdir(directory) else []:
+        if name.startswith("manifest_task") and name.endswith(".json"):
+            tasks.append(int(name[len("manifest_task"):-len(".json")]))
+    return max(tasks) if tasks else None
+
+
+def load_checkpoint(directory: str, task: Optional[int] = None):
+    """Rebuild a GrowableStereoNet. Returns (net, manifest)."""
+    if task is None:
+        task = latest_task(directory)
+        assert task is not None, f"no checkpoints in {directory}"
+    with open(os.path.join(directory, f"manifest_task{task}.json")) as f:
+        manifest = json.load(f)
+    data = dict(np.load(os.path.join(directory, f"arrays_task{task}.npz")))
+
+    genotypes = [_geno_from(g) for g in manifest["genotypes"]]
+    net = GrowableStereoNet.__new__(GrowableStereoNet)
+    net.genotypes = genotypes
+    net.archis = [
+        {k: int(v) for k, v in arch.items()} for arch in manifest["archis"]
+    ]
+    net.p = ([np.asarray(p, np.float64) for p in manifest["p"]]
+             if manifest["p"] is not None else None)
+    net.new_models = None
+    net.model_to_train = None
+
+    net.units = {}
+    for s in SITE_NAMES:
+        net.units[s] = []
+        for i in range(manifest["lengths"][s]):
+            born = manifest["born"][s][i]
+            spec = build_site_specs(genotypes[born])[s]
+            params = _unflatten(data, f"units/{s}/{i}/params")
+            stats = _unflatten(data, f"units/{s}/{i}/stats")
+            net.units[s].append(Unit(spec, _to_jax(params), _to_jax(stats), born))
+    net.heads = {}
+    head_specs = build_head_specs()
+    for h in HEAD_NAMES:
+        net.heads[h] = []
+        for i in range(manifest["num_heads"][h]):
+            params = _unflatten(data, f"heads/{h}/{i}/params")
+            stats = _unflatten(data, f"heads/{h}/{i}/stats")
+            net.heads[h].append(Unit(head_specs[h], _to_jax(params),
+                                     _to_jax(stats), i))
+    return net, manifest
+
+
+def _to_jax(tree):
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, tree)

@@ -1,0 +1,71 @@
+"""Synthetic random-dot stereograms with exact ground-truth disparity.
+
+The reference ships only filename lists pointing at the authors' machines —
+no pixels. For tests, benchmarks, and integration runs we synthesize stereo
+pairs whose right view is the left view warped by a known piecewise-constant
+disparity field. A network trained on these must drive EPE down, which is
+the integration-test oracle (SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+
+
+def synthetic_stereo_batch(rng: np.random.Generator, batch: int, h: int, w: int,
+                           max_disp: float = 48.0) -> Dict[str, np.ndarray]:
+    """Returns NHWC left/right and (B,H,W) disparity, float32.
+
+    Left = random smooth-ish dot texture; disparity = blocky field in
+    [4, max_disp]; right[x] = left[x - (-d)]... i.e. right view shifts
+    content LEFT by d so that left[j] == right[j - d].
+    """
+    # random texture with some low-frequency structure
+    tex = rng.standard_normal((batch, h, w, 3)).astype(np.float32)
+    k = 7
+    kernel = np.ones(k, np.float32) / k
+    for ax in (1, 2):
+        tex = np.apply_along_axis(lambda m: np.convolve(m, kernel, "same"), ax, tex)
+    tex /= tex.std() + 1e-6
+
+    # blocky disparity field (piecewise constant tiles)
+    th, tw = max(h // 4, 1), max(w // 4, 1)
+    tiles = rng.uniform(4.0, max_disp, (batch, (h + th - 1) // th, (w + tw - 1) // tw))
+    disp = np.repeat(np.repeat(tiles, th, 1), tw, 2)[:, :h, :w].astype(np.float32)
+
+    # right[j] = left[j + d] sampled with linear interp (so left[j] = right[j-d])
+    j = np.arange(w, dtype=np.float32)[None, None, :]
+    src = j + disp  # (B,H,W)
+    j0 = np.clip(np.floor(src).astype(np.int64), 0, w - 1)
+    j1 = np.clip(j0 + 1, 0, w - 1)
+    frac = (src - np.floor(src)).astype(np.float32)[..., None]
+    bi = np.arange(batch)[:, None, None]
+    hi = np.arange(h)[None, :, None]
+    right = tex[bi, hi, j0] * (1 - frac) + tex[bi, hi, j1] * frac
+    valid = (src <= w - 1)
+    disp = np.where(valid, disp, 0.0).astype(np.float32)  # gt=0 -> masked out
+    return {"left": tex, "right": right.astype(np.float32), "disparity": disp}
+
+
+class SyntheticStereoDataset:
+    """Iterable dataset facade matching StereoDataset.batches."""
+
+    def __init__(self, num_samples: int, h: int, w: int, seed: int = 0,
+                 max_disp: float = 48.0):
+        self.num_samples = num_samples
+        self.h, self.w = h, w
+        self.seed = seed
+        self.max_disp = max_disp
+
+    def __len__(self):
+        return self.num_samples
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                indices=None, drop_last: bool = True) -> Iterator[Dict]:
+        n = len(indices) if indices is not None else self.num_samples
+        rng = np.random.default_rng(self.seed + seed)
+        for _ in range(n // batch_size):
+            yield synthetic_stereo_batch(rng, batch_size, self.h, self.w,
+                                         self.max_disp)

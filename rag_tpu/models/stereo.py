@@ -1,0 +1,200 @@
+"""The deployed stereo pipeline: Feature Net -> cost volume -> Matching Net
+-> soft-argmin disparity regression.
+
+This is the TPU-native counterpart of the reference's deployed Network
+(src/models/rag_model.py:181-387), restructured so the architecture is data:
+
+  * a *path* is a dict  site -> (static spec, params, stats)  covering the 18
+    searchable sites plus the 3 per-task output heads;
+  * ``stereo_forward`` is a pure function of (specs, params, stats, inputs)
+    — the continual-growth machinery (rag_tpu.models.growable) merely
+    assembles different paths from its per-site candidate registries.
+
+Macro-architecture (fixed across tasks, reference rag_model.py:206-266):
+  feature net   4 cells, scales [down, up, down, up]  (1/3 <-> 1/6)
+  matching net  8 cells, scales [0,0,0,down,down,up,down,0] (1 -> 1/4)
+
+Channel plan with filter_multiplier=4, block_multiplier=3 (initial_fm=12):
+see _SITE_BUILDERS below; it matches rag_model.py:206-271 line for line.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from rag_tpu.ops.cell import CellSpec, apply_cell, init_cell
+from rag_tpu.ops.convbr import ConvBRSpec, apply_convbr, init_convbr
+from rag_tpu.ops.cost_volume import cost_volume
+from rag_tpu.ops.disparity import soft_argmin_disparity
+from rag_tpu.ops.resize import resize_linear
+
+MAXDISP = 192
+FILTER_MULTIPLIER = 4
+BLOCK_MULTIPLIER = 3
+INITIAL_FM = FILTER_MULTIPLIER * BLOCK_MULTIPLIER  # 12
+HALF_FM = INITIAL_FM // 2                          # 6
+
+# p-index order of the 18 searchable sites (reference rag_model.py expand():
+# stems2d 0-2, cells2d 3-6, last_3_2d 7, stems3d 8-9, cells3d 10-17).
+SITE_NAMES = (
+    "stem_2d0", "stem_2d1", "stem_2d2",
+    "cell_2d0", "cell_2d1", "cell_2d2", "cell_2d3",
+    "last_3_2d",
+    "stem_3d0", "stem_3d1",
+    "cell_3d0", "cell_3d1", "cell_3d2", "cell_3d3",
+    "cell_3d4", "cell_3d5", "cell_3d6", "cell_3d7",
+)
+
+# per-task output heads: a fresh copy is always created for each task
+# (reference rag_model.py:540-542, 832-839).
+HEAD_NAMES = ("last_3_3d", "last_6_3d", "last_12_3d")
+
+# (c_pp, c_p, c_out, downup) for each cell site — absolute channel counts
+# derived from rag_model.py:206-266 (bm * fm products pre-multiplied).
+_CELL2D_PLAN = (
+    (12, 12, 8, -1),
+    (12, 24, 4, +1),
+    (24, 12, 8, -1),
+    (12, 24, 4, +1),
+)
+_CELL3D_PLAN = (
+    (12, 12, 4, 0),
+    (12, 12, 4, 0),
+    (12, 12, 4, 0),
+    (12, 12, 8, -1),
+    (12, 24, 16, -1),
+    (24, 48, 8, +1),
+    (48, 24, 16, -1),
+    (24, 48, 16, 0),
+)
+
+Spec = Union[ConvBRSpec, CellSpec]
+
+
+def build_site_specs(genotype) -> Dict[str, Spec]:
+    """Specs for one candidate unit per searchable site, from a task's
+    freshly searched genotype (the reference builds exactly these modules in
+    Network.__init__ / Network.expand)."""
+    specs: Dict[str, Spec] = {
+        "stem_2d0": ConvBRSpec(2, 3, HALF_FM, 3, 1),
+        "stem_2d1": ConvBRSpec(2, HALF_FM, INITIAL_FM, 3, 3),
+        "stem_2d2": ConvBRSpec(2, INITIAL_FM, INITIAL_FM, 3, 1),
+        "last_3_2d": ConvBRSpec(2, INITIAL_FM, INITIAL_FM, 1, 1, bn=False, relu=False),
+        "stem_3d0": ConvBRSpec(3, INITIAL_FM * 2, INITIAL_FM, 3, 1),
+        "stem_3d1": ConvBRSpec(3, INITIAL_FM, INITIAL_FM, 3, 1),
+    }
+    for i, (cpp, cp, cout, downup) in enumerate(_CELL2D_PLAN):
+        specs[f"cell_2d{i}"] = CellSpec(2, cpp, cp, cout, downup, genotype.normal)
+    for i, (cpp, cp, cout, downup) in enumerate(_CELL3D_PLAN):
+        specs[f"cell_3d{i}"] = CellSpec(3, cpp, cp, cout, downup, genotype.reduce)
+    return specs
+
+
+def build_head_specs() -> Dict[str, ConvBRSpec]:
+    """Per-task matching-output heads (rag_model.py:269-271)."""
+    return {
+        "last_3_3d": ConvBRSpec(3, INITIAL_FM, 1, 3, 1, bn=False, relu=False),
+        "last_6_3d": ConvBRSpec(3, INITIAL_FM * 2, INITIAL_FM, 1, 1),
+        "last_12_3d": ConvBRSpec(3, INITIAL_FM * 4, INITIAL_FM * 2, 1, 1),
+    }
+
+
+def _init_one(key, spec: Spec):
+    if isinstance(spec, CellSpec):
+        return init_cell(key, spec)
+    return init_convbr(key, spec)
+
+
+def init_sites(key, specs: Mapping[str, Spec]) -> Tuple[Dict, Dict]:
+    """Initialize params/stats for every site in ``specs``."""
+    names = sorted(specs)
+    keys = jax.random.split(key, len(names))
+    params, stats = {}, {}
+    for k, name in zip(keys, names):
+        params[name], stats[name] = _init_one(k, specs[name])
+    return params, stats
+
+
+def _apply(specs, params, stats, name, x, train_sites, new_stats, *extra):
+    spec = specs[name]
+    train = name in train_sites
+    if isinstance(spec, CellSpec):
+        out, st = apply_cell(spec, params[name], stats[name], extra[0], x, train)
+    else:
+        out, st = apply_convbr(spec, params[name], stats[name], x, train)
+    new_stats[name] = st
+    return out
+
+
+def extract_feature(specs, params, stats, image, train_sites, new_stats):
+    """2D feature net: image (B,H,W,3) -> features (B,H/3,W/3,12).
+
+    Mirrors Network.feature (rag_model.py:285-323): stems, 4 cells chained as
+    (prev_prev, prev) pairs, then the bn/relu-free last_3_2d projection.
+    """
+    s = _apply(specs, params, stats, "stem_2d0", image, train_sites, new_stats)
+    stem1 = _apply(specs, params, stats, "stem_2d1", s, train_sites, new_stats)
+    stem2 = _apply(specs, params, stats, "stem_2d2", stem1, train_sites, new_stats)
+    s_pp, s_p = stem1, stem2
+    for i in range(4):
+        out = _apply(specs, params, stats, f"cell_2d{i}", s_p, train_sites, new_stats, s_pp)
+        s_pp, s_p = s_p, out
+    return _apply(specs, params, stats, "last_3_2d", s_p, train_sites, new_stats)
+
+
+def run_matching(specs, params, stats, cost, train_sites, new_stats):
+    """3D matching net: cost (B,D,h,w,2C) -> matching score (B,D,h,w,1).
+
+    Mirrors Network.matching (rag_model.py:325-366). The final cell is
+    statically at 1/4 scale, so the head cascade last_12 -> up x2 -> last_6
+    -> up to full -> last_3 is unconditional (the reference's shape-switch
+    collapses at trace time).
+    """
+    stem0 = _apply(specs, params, stats, "stem_3d0", cost, train_sites, new_stats)
+    stem1 = _apply(specs, params, stats, "stem_3d1", stem0, train_sites, new_stats)
+    s_pp, s_p = stem0, stem1
+    for i in range(8):
+        out = _apply(specs, params, stats, f"cell_3d{i}", s_p, train_sites, new_stats, s_pp)
+        s_pp, s_p = s_p, out
+
+    d, h, w = cost.shape[1], cost.shape[2], cost.shape[3]
+    x = _apply(specs, params, stats, "last_12_3d", s_p, train_sites, new_stats)
+    x = resize_linear(x, (d // 2, h // 2, w // 2), (1, 2, 3), align_corners=True)
+    x = _apply(specs, params, stats, "last_6_3d", x, train_sites, new_stats)
+    x = resize_linear(x, (d, h, w), (1, 2, 3), align_corners=True)
+    return _apply(specs, params, stats, "last_3_3d", x, train_sites, new_stats)
+
+
+def stereo_forward(
+    specs: Mapping[str, Spec],
+    params,
+    stats,
+    left,
+    right,
+    train_sites=frozenset(),
+):
+    """Full pipeline. left/right: (B,H,W,3) NHWC. Returns (disp, new_stats)
+    with disp (B,H,W) in pixels.
+
+    train_sites: the set of site names whose BatchNorms run in train mode
+    (batch stats + running update); everything else normalizes with frozen
+    running stats — the reference's reused-unit BN freeze
+    (src/approaches/rag.py:159-201).
+    """
+    new_stats: Dict[str, Any] = {}
+    x = extract_feature(specs, params, stats, left, train_sites, new_stats)
+    # thread the (possibly updated) feature-net stats through the right view,
+    # matching the reference's two sequential BN updates per step.
+    mid = {**stats, **new_stats}
+    y = extract_feature(specs, params, mid, right, train_sites, new_stats)
+    cost = cost_volume(x, y, MAXDISP // 3)
+    mat = run_matching(specs, params, {**stats, **new_stats}, cost, train_sites, new_stats)
+    disp = soft_argmin_disparity(mat, MAXDISP, scale=3)
+    # carry through stats for sites absent from this path (none today, but
+    # keeps the contract total).
+    for name in stats:
+        new_stats.setdefault(name, stats[name])
+    return disp, new_stats

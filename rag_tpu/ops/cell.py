@@ -1,0 +1,139 @@
+"""Genotype-driven cell evaluator (2D feature cells and 3D matching cells).
+
+Reproduces the deployed-cell semantics of the reference
+(src/models/rag_model.py:47-177): a 3-step DAG over states [s0, s1] where
+each step sums the outputs of its (exactly two) genotype-selected in-edges
+and the cell output concatenates the last block_multiplier=3 states.
+
+The genotype here is *data*: a tuple of (edge, op) pairs, canonically sorted
+by edge index (the reference assigns ops to edges in unsorted genotype row
+order, a latent op/edge mismatch we deliberately fix — see SURVEY.md quirks).
+Because the genotype is static python, the DAG unrolls at trace time into a
+plain XLA graph; there is no dynamic control flow inside jit.
+
+Ops vocabulary (src/automl/genotypes_2d.py:6-8, genotypes_3d.py:6-9):
+  op 0 = skip_connect (identity), op 1 = conv_3x3 (ConvBR, stride 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+
+from rag_tpu.ops.convbr import ConvBRSpec, apply_convbr, init_convbr
+from rag_tpu.ops.resize import resize_linear, scale_dimension
+
+STEPS = 3
+BLOCK_MULTIPLIER = 3
+
+OP_SKIP = 0
+OP_CONV = 1
+
+Gene = Tuple[Tuple[int, int], ...]  # ((edge, op) x 6), sorted by edge
+
+
+def canonicalize_gene(pairs) -> Gene:
+    """Sort (edge, op) pairs by edge within each step and validate."""
+    pairs = sorted((int(e), int(o)) for e, o in pairs)
+    assert len(pairs) == 2 * STEPS, pairs
+    offset, nstates = 0, 2
+    it = iter(pairs)
+    flat = list(it)
+    idx = 0
+    for _ in range(STEPS):
+        for _ in range(2):
+            e, o = flat[idx]
+            assert offset <= e < offset + nstates, (flat, offset, nstates)
+            idx += 1
+        offset += nstates
+        nstates += 1
+    return tuple(flat)
+
+
+@dataclasses.dataclass(frozen=True)
+class CellSpec:
+    """Static cell description (hashable; part of jit cache keys)."""
+
+    ndim: int          # 2 (feature) or 3 (matching)
+    c_pp: int          # prev_prev input channels
+    c_p: int           # prev input channels
+    c_out: int         # per-state channels (filter_multiplier)
+    downup: int        # -1 halve, 0 keep, +1 double spatial dims
+    gene: Gene
+
+    @property
+    def out_channels(self) -> int:
+        return BLOCK_MULTIPLIER * self.c_out
+
+
+def cell_out_channels(c_out: int) -> int:
+    return BLOCK_MULTIPLIER * c_out
+
+
+def init_cell(key, spec: CellSpec):
+    """Initialize cell params/stats trees keyed like the static gene."""
+    keys = jax.random.split(key, 2 + len(spec.gene))
+    pre_spec = ConvBRSpec(spec.ndim, spec.c_pp, spec.c_out, 1)
+    prep_spec = ConvBRSpec(spec.ndim, spec.c_p, spec.c_out, 1)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if spec.c_pp != spec.c_out:
+        params["pre"], stats["pre"] = init_convbr(keys[0], pre_spec)
+    params["prep"], stats["prep"] = init_convbr(keys[1], prep_spec)
+    params["ops"], stats["ops"] = {}, {}
+    conv_spec = ConvBRSpec(spec.ndim, spec.c_out, spec.c_out, 3)
+    for i, (edge, op) in enumerate(spec.gene):
+        if op == OP_CONV:
+            p, s = init_convbr(keys[2 + i], conv_spec)
+            params["ops"][str(edge)] = p
+            stats["ops"][str(edge)] = s
+    return params, stats
+
+
+def _spatial_axes(ndim):
+    return tuple(range(1, 1 + ndim))
+
+
+def apply_cell(spec: CellSpec, params, stats, s0, s1, train: bool):
+    """Run the cell DAG. Returns (concat_out, new_stats)."""
+    ndim = spec.ndim
+    axes = _spatial_axes(ndim)
+    new_stats: Dict[str, Any] = {"ops": {}}
+
+    if spec.downup != 0:
+        scale = 0.5 if spec.downup == -1 else 2.0
+        target = tuple(scale_dimension(s1.shape[a], scale) for a in axes)
+        s1 = resize_linear(s1, target, axes, align_corners=True)
+    s1_spatial = tuple(s1.shape[a] for a in axes)
+    s0_spatial = tuple(s0.shape[a] for a in axes)
+    if s0_spatial != s1_spatial:
+        s0 = resize_linear(s0, s1_spatial, axes, align_corners=True)
+
+    if spec.c_pp != spec.c_out:
+        pre_spec = ConvBRSpec(ndim, spec.c_pp, spec.c_out, 1)
+        s0, new_stats["pre"] = apply_convbr(pre_spec, params["pre"], stats["pre"], s0, train)
+    prep_spec = ConvBRSpec(ndim, spec.c_p, spec.c_out, 1)
+    s1, new_stats["prep"] = apply_convbr(prep_spec, params["prep"], stats["prep"], s1, train)
+
+    conv_spec = ConvBRSpec(ndim, spec.c_out, spec.c_out, 3)
+    states = [s0, s1]
+    offset = 0
+    for _ in range(STEPS):
+        acc = None
+        for edge, op in spec.gene:
+            if not (offset <= edge < offset + len(states)):
+                continue
+            h = states[edge - offset]
+            if op == OP_CONV:
+                k = str(edge)
+                h, new_stats["ops"][k] = apply_convbr(
+                    conv_spec, params["ops"][k], stats["ops"][k], h, train
+                )
+            acc = h if acc is None else acc + h
+        offset += len(states)
+        states.append(acc)
+
+    out = jax.numpy.concatenate(states[-BLOCK_MULTIPLIER:], axis=-1)
+    return out, new_stats

@@ -1,0 +1,135 @@
+"""Conv + BatchNorm + ReLU blocks, functional style.
+
+The reference's primitive op vocabulary is ConvBR_2d / ConvBR_3d
+(/root/reference/src/automl/operations_2d.py:31-54, operations_3d.py:31-55):
+a bias-free conv, BatchNorm (momentum 0.1, eps 1e-5), optional ReLU, with
+kaiming-normal fan-out init. We reproduce those semantics functionally:
+
+  * params:  {'w': (*k, cin, cout), 'scale': (cout,), 'bias': (cout,)}
+  * stats:   {'mean': (cout,), 'var': (cout,)}   (BN running stats)
+  * apply(spec, params, stats, x, train) -> (y, new_stats)
+
+Layouts are TPU-native channels-last: NHWC for 2D, NDHWC for 3D (the
+reference uses torch NCHW/NCDHW; that is an implementation detail we do not
+copy). In train mode BN normalizes with the current batch statistics and
+returns updated running stats; in frozen/eval mode it normalizes with the
+running stats and returns them unchanged — this carries the reference's
+"reused units keep BN in eval()" semantics (src/approaches/rag.py:159-201).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvBRSpec:
+    """Static description of a ConvBR block (hashable: part of jit keys)."""
+
+    ndim: int  # 2 or 3 spatial dims
+    cin: int
+    cout: int
+    kernel: int
+    stride: int = 1
+    bn: bool = True
+    relu: bool = True
+
+    @property
+    def padding(self) -> int:
+        # reference always uses padding = kernel//2 except 1x1 (padding 0);
+        # stride-3 stem uses padding 1 with kernel 3.
+        return self.kernel // 2
+
+
+def _kaiming_fan_out(key, shape, fan_out):
+    std = np.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype=jnp.float32) * std
+
+
+def init_convbr(key, spec: ConvBRSpec) -> Tuple[Any, Any]:
+    """Initialize params/stats for a ConvBR block."""
+    k = (spec.kernel,) * spec.ndim
+    w_shape = k + (spec.cin, spec.cout)
+    fan_out = spec.cout * int(np.prod(k))
+    params = {"w": _kaiming_fan_out(key, w_shape, fan_out)}
+    stats = {}
+    if spec.bn:
+        params["scale"] = jnp.ones((spec.cout,), jnp.float32)
+        params["bias"] = jnp.zeros((spec.cout,), jnp.float32)
+        stats = {
+            "mean": jnp.zeros((spec.cout,), jnp.float32),
+            "var": jnp.ones((spec.cout,), jnp.float32),
+        }
+    return params, stats
+
+
+def init_convbr2d(key, cin, cout, kernel, stride=1, bn=True, relu=True):
+    spec = ConvBRSpec(2, cin, cout, kernel, stride, bn, relu)
+    params, stats = init_convbr(key, spec)
+    return spec, params, stats
+
+
+def init_convbr3d(key, cin, cout, kernel, stride=1, bn=True, relu=True):
+    spec = ConvBRSpec(3, cin, cout, kernel, stride, bn, relu)
+    params, stats = init_convbr(key, spec)
+    return spec, params, stats
+
+
+_DIMNUMS = {
+    2: ("NHWC", "HWIO", "NHWC"),
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+}
+
+
+def _conv(x, w, spec: ConvBRSpec):
+    pad = [(spec.padding, spec.padding)] * spec.ndim
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(spec.stride,) * spec.ndim,
+        padding=pad,
+        dimension_numbers=_DIMNUMS[spec.ndim],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
+    """Channels-last batch norm with torch BatchNorm semantics.
+
+    Train mode: normalize by (biased) batch stats; update running stats with
+    the unbiased batch variance. Eval mode: normalize by running stats.
+    """
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+        n = x.size // x.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "mean": (1 - momentum) * stats["mean"] + momentum * mean,
+            "var": (1 - momentum) * stats["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x - mean) * (inv * params["scale"]) + params["bias"]
+    return y, new_stats
+
+
+def apply_convbr(spec: ConvBRSpec, params, stats, x, train: bool):
+    """Apply conv -> BN -> ReLU. Returns (y, new_stats)."""
+    y = _conv(x, params["w"], spec)
+    if spec.bn:
+        y, stats = batch_norm(y, params, stats, train)
+    if spec.relu:
+        y = jax.nn.relu(y)
+    return y, stats

@@ -1,0 +1,156 @@
+"""Op-level growth search: reuse-vs-new selection over the expanded network.
+
+Reference: src/approaches/rag.py:238-406 (search_t / search_epoch /
+search_eval). After ``expand`` every searchable site holds L reuse
+candidates + 1 new unit; per epoch a full path is sampled from the per-site
+categoricals, trained for an epoch (only the new units' params receive
+gradients; ALL BatchNorms stay frozen — rag.py:344-368), scored on the
+held-out half, and the per-site probabilities updated with the MdeNAS
+pairwise rule using the reusability reward
+
+    h_a = sqrt(1 - valid_d1) * log(model_size + 1) / e,
+    model_size = 9 / max(#sites that picked the new unit, 1)      (:278-307)
+
+with the reuse head-start  h_e[site][0:-1] = o_size  (:262-266).
+
+Every sampled path is its own static architecture; paths re-use the jit
+cache keyed by the path's spec signature, so across an o_epochs=100 run only
+the distinct genotype-combinations present actually compile (sites share
+specs between candidates of the same genotype).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from rag_tpu.metrics.meters import AverageMeterDict
+from rag_tpu.models.growable import GrowableStereoNet, SITE_NAMES
+from rag_tpu.models.stereo import HEAD_NAMES
+from rag_tpu.search.mdenas import mdenas_update
+from rag_tpu.train.trainer import (
+    cosine_lr,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from rag_tpu.data.stereo_dataset import split_half
+
+
+@dataclasses.dataclass
+class OpSearchConfig:
+    epochs: int = 100
+    batch: int = 6
+    lr: float = 0.001
+    lr_a: float = 0.01
+    weight_decay: float = 3e-4
+    lr_min: float = 0.001
+    grad_clip: float = 5.0
+    o_size: int = 10
+    seed: int = 0
+
+
+class OpSearch:
+    """Runs the reuse-vs-new search for task t on an expanded net."""
+
+    def __init__(self, net: GrowableStereoNet, config: OpSearchConfig,
+                 log: Optional[Callable] = print):
+        self.net = net
+        self.cfg = config
+        self.log = log or (lambda *_: None)
+        self._step_cache = {}
+
+    def _steps_for(self, arch, trainable):
+        specs, _, _ = self.net.path(arch)
+        key = (tuple(sorted((k, s) for k, s in specs.items())),
+               tuple(sorted(trainable)))
+        if key not in self._step_cache:
+            optimizer = make_optimizer(self.cfg.weight_decay, self.cfg.grad_clip)
+            # bn_sites=∅: ALL BatchNorms frozen during op search
+            self._step_cache[key] = (
+                make_train_step(specs, frozenset(), optimizer,
+                                trainable_sites=trainable),
+                make_eval_step(specs),
+                optimizer,
+            )
+        return self._step_cache[key]
+
+    def search(self, t: int, train_data, writer=None):
+        """Mutates net.p in place; caller then runs net.select(t)."""
+        net, cfg = self.net, self.cfg
+        assert net.p is not None and net.new_models is not None
+        rng = np.random.default_rng(cfg.seed + 9999 * t)
+        train_idx, valid_idx = split_half(len(train_data))
+
+        # h_e with the o_size reuse head-start; h_a zero.
+        h_e = [np.zeros(len(p), np.int64) for p in net.p]
+        h_a = [np.zeros(len(p), np.float64) for p in net.p]
+        for he in h_e:
+            he[:-1] = cfg.o_size
+
+        best_loss = np.inf
+        # momentum state persists across epochs per-path; for simplicity and
+        # because each epoch retrains a different path, we reinit opt state
+        # each epoch over the new units only (the reference keeps one
+        # optimizer over new-unit params; its momentum buffers are per-param
+        # and most parameters recur across epochs — the practical difference
+        # is a cold momentum start per epoch, documented deviation).
+        for epoch in range(cfg.epochs):
+            lr = cosine_lr(cfg.lr, cfg.epochs, epoch, cfg.lr_min)
+            selected = [int(rng.choice(len(p), p=p)) for p in net.p]
+            arch = net.search_arch(selected, t)
+
+            n_new = sum(1 for i, s in enumerate(SITE_NAMES)
+                        if selected[i] == net.length(s) - 1)
+            model_size = 9.0 / max(n_new, 1)
+
+            # only new units (and heads of task t) train; all BN frozen
+            trainable = frozenset(
+                [s for i, s in enumerate(SITE_NAMES)
+                 if selected[i] == net.length(s) - 1] + list(HEAD_NAMES)
+            )
+            train_step, eval_step, optimizer = self._steps_for(arch, trainable)
+            specs, params, stats = self.net.path(arch)
+            opt_state = optimizer.init(params)
+
+            train_m = AverageMeterDict()
+            for b in train_data.batches(cfg.batch, True, seed=epoch,
+                                        indices=train_idx):
+                params, stats, opt_state, scalars = train_step(
+                    params, stats, opt_state, lr,
+                    b["left"], b["right"], b["disparity"])
+                train_m.update({k: float(v) for k, v in scalars.items()})
+
+            valid_m = AverageMeterDict()
+            for b in train_data.batches(cfg.batch, False, seed=0,
+                                        indices=valid_idx):
+                scalars = eval_step(params, stats, b["left"], b["right"],
+                                    b["disparity"])
+                valid_m.update({k: float(v) for k, v in scalars.items()})
+
+            net.write_back(arch, params, stats)
+
+            vm = valid_m.mean()
+            valid_d1 = min(max(vm.get("D1", 1.0), 0.0), 1.0)
+            valid_loss = vm.get("loss", np.inf)
+            reward = (np.sqrt(1.0 - valid_d1) * np.log(model_size + 1.0)
+                      / np.e)
+            self.log(f"[op-search t{t}] epoch {epoch} sel={selected} "
+                     f"n_new={n_new} valid loss {valid_loss:.3f} "
+                     f"D1 {100*valid_d1:.1f}% reward {reward:.4f}")
+            if writer is not None:
+                writer.scalars(f"search_op/task{t}",
+                               {"valid_loss": valid_loss, "valid_d1": valid_d1,
+                                "n_new": n_new}, step=epoch)
+
+            for i, idx in enumerate(selected):
+                h_e[i][idx] += 1
+                h_a[i][idx] = reward
+            for i in range(len(net.p)):
+                net.p[i] = mdenas_update(net.p[i], h_e[i], h_a[i], cfg.lr_a)
+
+            if valid_loss < best_loss:
+                best_loss = valid_loss

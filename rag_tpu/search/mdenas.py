@@ -1,0 +1,188 @@
+"""MdeNAS: multinomial-sampling architecture search with the pairwise
+epoch/accuracy probability update.
+
+Reference: src/automl/mdenas_search.py. Per epoch: sample one op per edge
+from the categorical p, train that single path for an epoch, score it on the
+held-out half, then update p with the pairwise differential rule
+(:124-147):
+
+    dh_e[i,j] = h_e[j] - h_e[i];  dh_a likewise
+    vector1[j] = #{i : h_e[j] < h_e[i]  and  h_a[j] > h_a[i]}
+    vector2[j] = #{i : h_e[j] > h_e[i]  and  h_a[j] < h_a[i]}
+    p += lr_a * (vector1 - vector2);  p = softmax(p)
+
+(op j gains mass when it achieved more with fewer training epochs.)
+
+The update is host-side numpy — tiny state, no reason to trace it. The
+trained supernet runs as ONE compiled executable across all epochs (op
+choices are traced inputs — see rag_tpu.models.supernet).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rag_tpu.metrics.stereo import stereo_metrics
+from rag_tpu.models.supernet import NUM_EDGES, init_supernet, supernet_forward
+from rag_tpu.search.genotype import Genotype, parse_genotype
+from rag_tpu.train.trainer import cosine_lr, make_optimizer, supervised_loss
+from rag_tpu.metrics.meters import AverageMeterDict
+from rag_tpu.data.stereo_dataset import split_half
+
+
+def mdenas_update(p: np.ndarray, h_e: np.ndarray, h_a: np.ndarray,
+                  lr_a: float) -> np.ndarray:
+    """One pairwise probability update (vectorized over leading dims).
+
+    p, h_e, h_a: (..., num_ops). Returns the new softmaxed p.
+    """
+    dh_e = h_e[..., None, :] - h_e[..., :, None]  # [.., i, j] = h[j]-h[i]
+    dh_a = h_a[..., None, :] - h_a[..., :, None]
+    v1 = np.sum((dh_e < 0) & (dh_a > 0), axis=-2)
+    v2 = np.sum((dh_e > 0) & (dh_a < 0), axis=-2)
+    p = p + lr_a * (v1 - v2).astype(np.float64)
+    e = np.exp(p - p.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+@dataclasses.dataclass
+class CellSearchConfig:
+    epochs: int = 100
+    batch: int = 8
+    lr: float = 0.002
+    lr_a: float = 0.01
+    weight_decay: float = 3e-4
+    lr_min: float = 0.001
+    grad_clip: float = 5.0
+    num_ops: int = 2
+    seed: int = 0
+
+
+class CellSearch:
+    """Searches one Genotype per task on a fresh supernet (the reference
+    throws the supernet away between tasks, rag.py:224)."""
+
+    def __init__(self, config: CellSearchConfig, log: Optional[Callable] = print):
+        self.cfg = config
+        self.log = log or (lambda *_: None)
+        key = jax.random.PRNGKey(config.seed)
+        self.params, self.stats = init_supernet(key)
+        self.optimizer = make_optimizer(config.weight_decay, config.grad_clip)
+        self.opt_state = self.optimizer.init(self.params)
+        self.p = {
+            "normal": np.full((NUM_EDGES, config.num_ops), 1.0 / config.num_ops),
+            "reduce": np.full((NUM_EDGES, config.num_ops), 1.0 / config.num_ops),
+        }
+        self._train_step = self._make_train_step()
+        self._eval_step = self._make_eval_step()
+
+    def _make_train_step(self):
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step(params, stats, opt_state, lr, left, right, disp_gt,
+                 fea_ops, mat_ops):
+            def loss_fn(p):
+                disp, new_stats = supernet_forward(
+                    p, stats, left, right, fea_ops, mat_ops, train=True)
+                loss, mask = supervised_loss(disp, disp_gt)
+                return loss, (disp, new_stats, mask)
+
+            (loss, (disp, new_stats, mask)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda q, u: q - lr * u, params, updates)
+            scalars = {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+            return params, new_stats, opt_state, scalars
+
+        return step
+
+    def _make_eval_step(self):
+        @jax.jit
+        def step(params, stats, left, right, disp_gt, fea_ops, mat_ops):
+            disp, _ = supernet_forward(
+                params, stats, left, right, fea_ops, mat_ops, train=False)
+            loss, mask = supervised_loss(disp, disp_gt)
+            return {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+
+        return step
+
+    def genotype(self) -> Genotype:
+        return parse_genotype(self.p["normal"], self.p["reduce"])
+
+    def search(self, train_data, writer=None, task: int = 0) -> Genotype:
+        """Run the full MdeNAS loop; returns the best-by-valid-loss genotype.
+
+        train_data: dataset exposing .batches(batch, shuffle, seed, indices).
+        """
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed + 1000 * task)
+        train_idx, valid_idx = split_half(len(train_data))
+
+        h_e = {k: np.zeros((NUM_EDGES, cfg.num_ops), np.int64) for k in self.p}
+        h_a = {k: np.zeros((NUM_EDGES, cfg.num_ops), np.float64) for k in self.p}
+        best_loss, best_p, best_params = np.inf, None, None
+
+        for epoch in range(cfg.epochs):
+            lr = cosine_lr(cfg.lr, cfg.epochs, epoch, cfg.lr_min)
+            ops = {
+                k: np.array([rng.choice(cfg.num_ops, p=self.p[k][e])
+                             for e in range(NUM_EDGES)], np.int32)
+                for k in self.p
+            }
+            fea_ops = jnp.asarray(ops["normal"])
+            mat_ops = jnp.asarray(ops["reduce"])
+
+            train_m = AverageMeterDict()
+            for b in train_data.batches(cfg.batch, True, seed=epoch,
+                                        indices=train_idx):
+                self.params, self.stats, self.opt_state, scalars = self._train_step(
+                    self.params, self.stats, self.opt_state, lr,
+                    b["left"], b["right"], b["disparity"], fea_ops, mat_ops)
+                train_m.update({k: float(v) for k, v in scalars.items()})
+
+            valid_m = AverageMeterDict()
+            for b in train_data.batches(cfg.batch, False, seed=0,
+                                        indices=valid_idx):
+                scalars = self._eval_step(
+                    self.params, self.stats, b["left"], b["right"],
+                    b["disparity"], fea_ops, mat_ops)
+                valid_m.update({k: float(v) for k, v in scalars.items()})
+
+            tm, vm = train_m.mean(), valid_m.mean()
+            valid_d1 = vm.get("D1", 1.0)
+            self.log(
+                f"[cell-search t{task}] epoch {epoch} lr {lr:.4f} "
+                f"train loss {tm.get('loss', 0):.3f} "
+                f"valid loss {vm.get('loss', 0):.3f} D1 {100*valid_d1:.1f}%")
+            if writer is not None:
+                writer.scalars(f"search_cell/task{task}",
+                               {"train_loss": tm.get("loss", 0.0),
+                                "valid_loss": vm.get("loss", 0.0),
+                                "valid_d1": valid_d1}, step=epoch)
+
+            # h_e / h_a bookkeeping and the pairwise update (per cell type)
+            for k in self.p:
+                for e in range(NUM_EDGES):
+                    h_e[k][e, ops[k][e]] += 1
+                    h_a[k][e, ops[k][e]] = 1.0 - valid_d1
+                self.p[k] = mdenas_update(self.p[k], h_e[k], h_a[k], cfg.lr_a)
+
+            if vm.get("loss", np.inf) < best_loss:
+                best_loss = vm.get("loss", np.inf)
+                best_p = {k: v.copy() for k, v in self.p.items()}
+                best_params = jax.tree_util.tree_map(lambda x: x, self.params)
+
+        if best_p is not None:
+            self.p = best_p
+        if best_params is not None:
+            self.params = best_params
+        geno = self.genotype()
+        self.log(f"[cell-search t{task}] best genotype: {geno}")
+        return geno

@@ -1,0 +1,111 @@
+"""Jitted train/eval steps and the SGD + cosine optimizer stack.
+
+The reference trains with SGD(momentum .9, weight decay), cosine LR, grad
+clip 5, masked smooth-L1 (src/approaches/rag.py:107-219). We keep those
+semantics but fix the reference's scheduler bug (`scheduler.step(valid_loss)`
+passes a loss where an epoch is expected, rag.py:146 — see SURVEY.md quirks):
+our cosine decay is a real cosine over epochs.
+
+Freezing: the reference freezes reused units by excluding their params from
+the optimizer and putting their BN in eval mode. Functionally we (a) pass
+train_sites to the forward so frozen BN uses running stats, and (b) zero the
+gradients of frozen leaves before the optimizer — momentum and weight decay
+then never touch them (torch equivalence: params absent from the optimizer).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rag_tpu.metrics.stereo import stereo_metrics
+from rag_tpu.models.stereo import stereo_forward
+from rag_tpu.train.losses import smooth_l1_masked
+
+MAXDISP = 192
+
+
+def cosine_lr(base_lr: float, total_epochs: int, epoch: int, eta_min: float = 0.0):
+    """torch CosineAnnealingLR closed form."""
+    if total_epochs <= 0:
+        return base_lr
+    return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * epoch / total_epochs)) / 2
+
+
+def make_optimizer(weight_decay: float, clip: float = 5.0):
+    """Gradient transform matching torch SGD(momentum=.9, wd) after a global
+    clip — lr is injected per-step (host-computed cosine)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=0.9, nesterov=False),
+    )
+
+
+def _freeze_mask(params, trainable: Callable[[str], bool]):
+    """0/1 mask tree: top-level key = site name."""
+    return {
+        site: jax.tree_util.tree_map(
+            lambda _: jnp.asarray(1.0 if trainable(site) else 0.0), sub
+        )
+        for site, sub in params.items()
+    }
+
+
+def supervised_loss(disp, disp_gt):
+    mask = (disp_gt > 0) & (disp_gt < MAXDISP)
+    return smooth_l1_masked(disp, disp_gt, mask), mask
+
+
+def make_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
+                    trainable_sites: frozenset = None,
+                    forward=stereo_forward):
+    """Returns jitted step(params, stats, opt, lr, batch) ->
+    (params, stats, opt, scalars).
+
+    bn_sites: sites whose BatchNorm runs in train mode (batch stats +
+    running update). trainable_sites: sites whose params receive updates;
+    defaults to bn_sites (the fine-tune stage couples the two, rag.py:
+    159-201), while op search decouples them (all BN frozen, only new
+    units train — rag.py:344-368)."""
+
+    if trainable_sites is None:
+        trainable_sites = bn_sites
+    mask_fn = partial(_freeze_mask, trainable=lambda s: s in trainable_sites)
+
+    @jax.jit
+    def step(params, stats, opt_state, lr, left, right, disp_gt):
+        def loss_fn(p):
+            disp, new_stats = forward(specs, p, stats, left, right,
+                                      train_sites=bn_sites)
+            loss, mask = supervised_loss(disp, disp_gt)
+            return loss, (disp, new_stats, mask)
+
+        (loss, (disp, new_stats, mask)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        m = mask_fn(params)
+        grads = jax.tree_util.tree_map(lambda g, mm: g * mm, grads, m)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        # freeze weight decay on frozen leaves too
+        updates = jax.tree_util.tree_map(lambda u, mm: u * mm, updates, m)
+        params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+        scalars = {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+        return params, new_stats, opt_state, scalars
+
+    return step
+
+
+def make_eval_step(specs: Mapping, forward=stereo_forward):
+    @jax.jit
+    def step(params, stats, left, right, disp_gt):
+        disp, _ = forward(specs, params, stats, left, right,
+                          train_sites=frozenset())
+        loss, mask = supervised_loss(disp, disp_gt)
+        return {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+
+    return step
