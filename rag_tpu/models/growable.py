@@ -52,10 +52,14 @@ class Unit:
 class GrowableStereoNet:
     """Host-side candidate registry + per-task architecture maps."""
 
+    # variant hooks: the depth variant (rag_tpu.models.depth) swaps these
+    SPEC_BUILDER = staticmethod(build_site_specs)
+    HEAD_BUILDER = staticmethod(build_head_specs)
+
     def __init__(self, key, genotype):
         self.genotypes = [genotype]
-        site_specs = build_site_specs(genotype)
-        head_specs = build_head_specs()
+        site_specs = self.SPEC_BUILDER(genotype)
+        head_specs = self.HEAD_BUILDER()
         k1, k2 = jax.random.split(key)
         sp, ss = init_sites(k1, site_specs)
         hp, hs = init_sites(k2, head_specs)
@@ -82,8 +86,8 @@ class GrowableStereoNet:
         """Append one candidate per searchable site + fresh heads; build p."""
         assert t == len(self.genotypes), "tasks must expand in order"
         self.genotypes.append(genotype)
-        site_specs = build_site_specs(genotype)
-        head_specs = build_head_specs()
+        site_specs = self.SPEC_BUILDER(genotype)
+        head_specs = self.HEAD_BUILDER()
         k1, k2 = jax.random.split(key)
         sp, ss = init_sites(k1, site_specs)
         hp, hs = init_sites(k2, head_specs)
@@ -187,3 +191,49 @@ class GrowableStereoNet:
     def size_m(self) -> float:
         """Model size in M params (reference utils.get_model_size mode='M')."""
         return self.num_params() / 1e6
+
+
+class GrowableDepthNet(GrowableStereoNet):
+    """Depth variant: same 18-site growth grid, 2D matching half, plus the
+    task-shared DispHead unit (rag_depth/src/models/rag_model.py:297-298 —
+    created once, never expanded)."""
+
+    def __init__(self, key, genotype):
+        from rag_tpu.models.depth import (
+            build_depth_head_specs,
+            build_depth_site_specs,
+            init_depth_head,
+        )
+
+        type(self).SPEC_BUILDER = staticmethod(build_depth_site_specs)
+        type(self).HEAD_BUILDER = staticmethod(build_depth_head_specs)
+        k1, k2 = jax.random.split(key)
+        super().__init__(k1, genotype)
+        from rag_tpu.models.depth import DEPTH_HEAD_SPEC
+
+        p, s = init_depth_head(k2)
+        self.depth_head = Unit(DEPTH_HEAD_SPEC, p, s, 0)
+
+    def path(self, arch):
+        specs, params, stats = super().path(arch)
+        specs["depth_head"] = self.depth_head.spec
+        params["depth_head"] = self.depth_head.params
+        stats["depth_head"] = self.depth_head.stats
+        return specs, params, stats
+
+    def write_back(self, arch, params=None, stats=None):
+        super().write_back(
+            {k: v for k, v in arch.items() if k != "depth_head"},
+            {k: v for k, v in (params or {}).items() if k != "depth_head"}
+            if params is not None else None,
+            {k: v for k, v in (stats or {}).items() if k != "depth_head"}
+            if stats is not None else None,
+        )
+        if params is not None and "depth_head" in params:
+            self.depth_head.params = params["depth_head"]
+        if stats is not None and "depth_head" in stats:
+            self.depth_head.stats = stats["depth_head"]
+
+    def trainable_sites(self, t: int) -> frozenset:
+        base = super().trainable_sites(t)
+        return base | {"depth_head"}

@@ -175,6 +175,7 @@ def stereo_forward(
     left,
     right,
     train_sites=frozenset(),
+    cost_constraint=None,
 ):
     """Full pipeline. left/right: (B,H,W,3) NHWC. Returns (disp, new_stats)
     with disp (B,H,W) in pixels.
@@ -183,6 +184,10 @@ def stereo_forward(
     (batch stats + running update); everything else normalizes with frozen
     running stats — the reference's reused-unit BN freeze
     (src/approaches/rag.py:159-201).
+
+    cost_constraint: optional fn applied to the (B,D,H,W,2C) cost volume —
+    the hook for mesh sharding constraints (spatial/disparity parallelism of
+    the memory-dominant volume; see rag_tpu.parallel).
     """
     new_stats: Dict[str, Any] = {}
     x = extract_feature(specs, params, stats, left, train_sites, new_stats)
@@ -191,6 +196,8 @@ def stereo_forward(
     mid = {**stats, **new_stats}
     y = extract_feature(specs, params, mid, right, train_sites, new_stats)
     cost = cost_volume(x, y, MAXDISP // 3)
+    if cost_constraint is not None:
+        cost = cost_constraint(cost)
     mat = run_matching(specs, params, {**stats, **new_stats}, cost, train_sites, new_stats)
     disp = soft_argmin_disparity(mat, MAXDISP, scale=3)
     # carry through stats for sites absent from this path (none today, but

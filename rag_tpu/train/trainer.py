@@ -109,3 +109,55 @@ def make_eval_step(specs: Mapping, forward=stereo_forward):
         return {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Depth variant steps (silog objective, depth metric suite)
+# ---------------------------------------------------------------------------
+
+
+def make_depth_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
+                          trainable_sites: frozenset = None):
+    from rag_tpu.metrics.depth import depth_metrics
+    from rag_tpu.models.depth import depth_forward
+    from rag_tpu.train.losses import silog_loss
+
+    if trainable_sites is None:
+        trainable_sites = bn_sites
+    mask_fn = partial(_freeze_mask, trainable=lambda s: s in trainable_sites)
+
+    @jax.jit
+    def step(params, stats, opt_state, lr, image, depth_gt):
+        def loss_fn(p):
+            pred, new_stats = depth_forward(specs, p, stats, image,
+                                            train_sites=bn_sites)
+            mask = depth_gt > 0
+            loss = silog_loss(pred, depth_gt, mask)
+            return loss, (pred, new_stats, mask)
+
+        (loss, (pred, new_stats, mask)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        m = mask_fn(params)
+        grads = jax.tree_util.tree_map(lambda g, mm: g * mm, grads, m)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u, mm: u * mm, updates, m)
+        params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+        scalars = {"loss": loss, **depth_metrics(pred, depth_gt, mask)}
+        return params, new_stats, opt_state, scalars
+
+    return step
+
+
+def make_depth_eval_step(specs: Mapping):
+    from rag_tpu.metrics.depth import depth_metrics
+    from rag_tpu.models.depth import depth_forward
+    from rag_tpu.train.losses import silog_loss
+
+    @jax.jit
+    def step(params, stats, image, depth_gt):
+        pred, _ = depth_forward(specs, params, stats, image)
+        mask = depth_gt > 0
+        loss = silog_loss(pred, depth_gt, mask)
+        return {"loss": loss, **depth_metrics(pred, depth_gt, mask)}
+
+    return step

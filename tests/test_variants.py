@@ -1,0 +1,133 @@
+"""Depth variant, Scene Router, and self-supervised loss tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_tpu.models.depth import (
+    build_depth_head_specs,
+    build_depth_site_specs,
+    depth_forward,
+    init_depth_head,
+    MAX_DEPTH,
+)
+from rag_tpu.models.growable import GrowableDepthNet
+from rag_tpu.models.stereo import init_sites
+from rag_tpu.search.genotype import default_genotype
+from rag_tpu.train.losses import photometric_loss, silog_loss, warp_by_disparity
+from rag_tpu.train.trainer import make_depth_eval_step, make_depth_train_step, make_optimizer
+
+
+def _depth_path(key=0):
+    g = default_genotype()
+    specs = {**build_depth_site_specs(g), **build_depth_head_specs()}
+    params, stats = init_sites(jax.random.PRNGKey(key), specs)
+    hp, hs = init_depth_head(jax.random.PRNGKey(key + 1))
+    from rag_tpu.models.depth import DEPTH_HEAD_SPEC
+
+    specs["depth_head"] = DEPTH_HEAD_SPEC
+    params["depth_head"] = hp
+    stats["depth_head"] = hs
+    return specs, params, stats
+
+
+class TestDepthVariant:
+    def test_forward_shapes_and_range(self):
+        specs, params, stats = _depth_path()
+        img = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 96, 3))
+        depth, _ = depth_forward(specs, params, stats, img)
+        assert depth.shape == (2, 48, 96)
+        d = np.asarray(depth)
+        assert (d >= 0).all() and (d <= MAX_DEPTH).all()
+
+    def test_train_step_reduces_loss(self):
+        specs, params, stats = _depth_path()
+        opt = make_optimizer(3e-4, 5.0)
+        opt_state = opt.init(params)
+        step = make_depth_train_step(specs, frozenset(specs), opt)
+        ev = make_depth_eval_step(specs)
+        img = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 48, 3))
+        gt = jnp.asarray(
+            np.random.default_rng(0).uniform(1, 60, (2, 24, 48)), jnp.float32)
+        before = float(ev(params, stats, img, gt)["loss"])
+        for _ in range(8):
+            params, stats, opt_state, sc = step(params, stats, opt_state,
+                                                0.01, img, gt)
+        after = float(ev(params, stats, img, gt)["loss"])
+        assert np.isfinite(after)
+        assert after < before
+
+    def test_growable_depth_net(self):
+        net = GrowableDepthNet(jax.random.PRNGKey(0), default_genotype())
+        specs, params, stats = net.path(net.archis[0])
+        assert "depth_head" in specs
+        img = jnp.ones((1, 24, 48, 3))
+        depth, _ = depth_forward(specs, params, stats, img)
+        assert depth.shape == (1, 24, 48)
+        # growth machinery works on the depth grid too
+        net.expand(jax.random.PRNGKey(1), 1, default_genotype())
+        for i in range(len(net.p)):
+            net.p[i] = np.array([0.1, 0.9])
+        best = net.select(1)
+        specs2, p2, s2 = net.path(net.archis[1])
+        depth2, _ = depth_forward(specs2, p2, s2, img)
+        assert depth2.shape == (1, 24, 48)
+        assert "depth_head" in net.trainable_sites(1)
+
+
+class TestSelfSupLosses:
+    def test_warp_identity_at_zero_disparity(self):
+        img = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 16, 3))
+        warped, valid = warp_by_disparity(img, jnp.zeros((1, 8, 16)))
+        np.testing.assert_allclose(np.asarray(warped), np.asarray(img), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(valid), 1.0)
+
+    def test_warp_shifts_columns(self):
+        # image whose value == column index; disparity 2 -> shifted by 2
+        img = jnp.broadcast_to(
+            jnp.arange(16, dtype=jnp.float32)[None, None, :, None], (1, 4, 16, 1))
+        warped, valid = warp_by_disparity(img, jnp.full((1, 4, 16), 2.0))
+        inner = np.asarray(warped)[0, :, 4:, 0]
+        expected = np.broadcast_to(np.arange(16, dtype=np.float32)[4:] - 2, (4, 12))
+        np.testing.assert_allclose(inner, expected, atol=1e-5)
+
+    def test_photometric_loss_prefers_true_disparity(self):
+        from rag_tpu.data.synthetic import synthetic_stereo_batch
+
+        b = synthetic_stereo_batch(np.random.default_rng(0), 2, 24, 48, 12.0)
+        left, right = jnp.asarray(b["left"]), jnp.asarray(b["right"])
+        gt = jnp.asarray(b["disparity"])
+        good = float(photometric_loss(gt, left, right))
+        bad = float(photometric_loss(jnp.zeros_like(gt) + 30.0, left, right))
+        assert good < bad
+
+    def test_silog_zero_for_perfect(self):
+        gt = jnp.asarray(np.random.default_rng(0).uniform(1, 60, (2, 8, 8)),
+                         jnp.float32)
+        assert float(silog_loss(gt, gt, gt > 0)) < 1e-2
+
+
+class TestSceneRouter:
+    def test_router_learns_to_separate_scenes(self):
+        from rag_tpu.data.synthetic import SyntheticStereoDataset
+        from rag_tpu.models.router import SceneRouter
+
+        # two scenes with very different brightness statistics
+
+        class Shifted(SyntheticStereoDataset):
+            def __init__(self, shift, **kw):
+                super().__init__(**kw)
+                self.shift = shift
+
+            def batches(self, *a, **kw):
+                for b in super().batches(*a, **kw):
+                    b = dict(b)
+                    b["left"] = b["left"] + self.shift
+                    yield b
+
+        d0 = Shifted(-2.0, num_samples=16, h=24, w=48, seed=0)
+        d1 = Shifted(+2.0, num_samples=16, h=24, w=48, seed=1)
+        router = SceneRouter(num_tasks=2, seed=0, lr=3e-3)
+        router.train([d0, d1], epochs=5, batch=8)
+        acc = router.accuracy([d0, d1])
+        assert acc > 0.9, acc
