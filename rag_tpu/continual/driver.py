@@ -168,7 +168,9 @@ class ContinualDriver:
                 from rag_tpu.continual.state import save_checkpoint
                 save_checkpoint(self.checkpoint_dir, self.net, task=t)
         hours = (time.time() - tstart) / 3600
-        self.log(f"mean D1 after {self.cfg.num_tasks} tasks: "
-                 f"{100*self.matrix.mean_final('D1'):.2f}%  "
+        headline = "D1" if "D1" in self.matrix.metric_names else \
+            self.matrix.metric_names[-1]
+        self.log(f"mean {headline} after {self.cfg.num_tasks} tasks: "
+                 f"{self.matrix.mean_final(headline):.4f}  "
                  f"elapsed {hours:.2f} h")
         return self.matrix

@@ -1,0 +1,144 @@
+"""Self-supervised continual stereo driver (the src_self variant).
+
+Deltas vs the supervised driver (SURVEY.md §2.3):
+  * per task: a SUPERVISED pretrain stage on synthetic (SceneFlow-style)
+    data before the photometric fine-tune (src_self/approaches/rag.py:
+    104-111, 163-215; hard-coded batch 8 / 9 epochs in the reference —
+    configurable here);
+  * fine-tune uses the photometric loss (no ground truth);
+  * op search runs on color-matched PROXY data (synthetic pairs whose color
+    statistics are transferred to the current scene's left images,
+    src_self/approaches/rag.py:313-317 + sceneflow_driving_dataset);
+  * search_eval may be truncated to a few batches (the reference left
+    ``if step > 10: break`` active, :529-530 — here an explicit config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from rag_tpu.continual.driver import ContinualDriver, ExperimentConfig
+from rag_tpu.data.transfer import ColorTransferDataset
+from rag_tpu.metrics.meters import AverageMeterDict
+from rag_tpu.search.growth import OpSearch
+from rag_tpu.train.trainer import (
+    cosine_lr,
+    make_eval_step,
+    make_optimizer,
+    make_selfsup_train_step,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class SelfSupConfig(ExperimentConfig):
+    pretrain_epochs: int = 9
+    pretrain_batch: int = 8
+    pretrain_lr: float = 0.001
+
+
+class SelfSupContinualDriver(ContinualDriver):
+    """train_task pipeline with pretrain + photometric fine-tune.
+
+    pretrain_data: one supervised synthetic dataset (shared across tasks);
+    proxy_search_data: synthetic pairs for op search, color-matched per
+    task when ``real_pool`` images are provided.
+    """
+
+    def __init__(self, config: SelfSupConfig, pretrain_data=None,
+                 proxy_search_data=None, **kw):
+        super().__init__(config, **kw)
+        self.pretrain_data = pretrain_data
+        self.proxy_search_data = proxy_search_data
+
+    def _proxy_for(self, t: int, train_data):
+        if self.proxy_search_data is None:
+            return train_data
+        # pool of real left images from the current scene for color transfer
+        pool = []
+        for b in train_data.batches(2, False, seed=0):
+            pool.append(b["left"])
+            if len(pool) >= 8:
+                break
+        if not pool:
+            return self.proxy_search_data
+        real = np.concatenate(pool, axis=0)
+        return ColorTransferDataset(self.proxy_search_data, real)
+
+    def train_task(self, t: int, train_data, valid_data):
+        genotype = self.search_cell(t, train_data)
+        import jax
+
+        key = jax.random.PRNGKey(self.cfg.seed + 31 * t)
+        if t == 0:
+            from rag_tpu.models.growable import GrowableStereoNet
+
+            self.net = GrowableStereoNet(key, genotype)
+        else:
+            self.net.expand(key, t, genotype)
+            OpSearch(self.net, self.cfg.op, log=self.log).search(
+                t, self._proxy_for(t, train_data), writer=self.writer)
+            best = self.net.select(t)
+            self.log(f"[task {t}] best_archi = {best}")
+        self.writer.scalars("model_size_m", {"params_m": self.net.size_m()},
+                            step=t)
+        if self.pretrain_data is not None:
+            self.pretrain(t)
+        self.fine_tune(t, train_data, valid_data)
+
+    def pretrain(self, t: int):
+        """Supervised warm-up on synthetic data (pretrain_t)."""
+        cfg = self.cfg
+        net = self.net
+        arch = net.archis[t]
+        trainable = net.trainable_sites(t)
+        specs, params, stats = net.path(arch)
+        optimizer = make_optimizer(cfg.train.weight_decay, cfg.train.grad_clip)
+        step = make_train_step(specs, trainable, optimizer)
+        opt_state = optimizer.init(params)
+        for epoch in range(cfg.pretrain_epochs):
+            lr = cosine_lr(cfg.pretrain_lr, cfg.pretrain_epochs, epoch)
+            for b in self.pretrain_data.batches(cfg.pretrain_batch, True,
+                                                seed=epoch):
+                params, stats, opt_state, sc = step(
+                    params, stats, opt_state, lr,
+                    b["left"], b["right"], b["disparity"])
+            self.log(f"[pretrain t{t}] epoch {epoch} "
+                     f"loss {float(sc['loss']):.3f}")
+        net.write_back(arch, params, stats)
+
+    def fine_tune(self, t: int, train_data, valid_data):
+        """Photometric fine-tune (supervise=False)."""
+        cfg = self.cfg.train
+        net = self.net
+        arch = net.archis[t]
+        trainable = net.trainable_sites(t)
+        specs, params, stats = net.path(arch)
+        optimizer = make_optimizer(cfg.weight_decay, cfg.grad_clip)
+        step = make_selfsup_train_step(specs, trainable, optimizer)
+        eval_step = make_eval_step(specs)
+        opt_state = optimizer.init(params)
+
+        best_loss, best = np.inf, (params, stats)
+        for epoch in range(cfg.epochs):
+            lr = cosine_lr(cfg.lr, cfg.epochs, epoch)
+            for b in train_data.batches(cfg.batch, True, seed=epoch):
+                params, stats, opt_state, _ = step(
+                    params, stats, opt_state, lr,
+                    b["left"], b["right"], b["disparity"])
+            vm = AverageMeterDict()
+            for b in valid_data.batches(cfg.batch, False, seed=0):
+                vm.update({k: float(v) for k, v in eval_step(
+                    params, stats, b["left"], b["right"], b["disparity"]
+                ).items()})
+            v = vm.mean()
+            self.log(f"[selfsup t{t}] epoch {epoch} valid "
+                     f"loss {v.get('loss', 0):.3f} D1 {100*v.get('D1', 0):.1f}%")
+            self.writer.scalars(f"selfsup/task{t}", v, step=epoch)
+            if v.get("loss", np.inf) < best_loss:
+                best_loss, best = v.get("loss", np.inf), (params, stats)
+        params, stats = best
+        net.write_back(arch, params, stats)

@@ -89,8 +89,10 @@ class SceneRouter:
     def train(self, datasets, epochs: int = 3, batch: int = 8, log=None):
         """datasets: one per scene (index = label). Balanced round-robin."""
         for epoch in range(epochs):
-            iters = [d.batches(batch, True, seed=epoch) for d in datasets]
+            batch_eff = max(1, min(batch, min(len(d) for d in datasets)))
+            iters = [d.batches(batch_eff, True, seed=epoch) for d in datasets]
             done = [False] * len(iters)
+            loss = None
             while not all(done):
                 for t, it in enumerate(iters):
                     if done[t]:
@@ -103,7 +105,7 @@ class SceneRouter:
                     labels = jnp.full((b["left"].shape[0],), t, jnp.int32)
                     self.params, self.opt_state, loss = self._step(
                         self.params, self.opt_state, b["left"], labels)
-            if log:
+            if log and loss is not None:
                 log(f"[router] epoch {epoch} loss {float(loss):.4f}")
 
     def predict(self, images) -> np.ndarray:

@@ -29,6 +29,7 @@ from rag_tpu.ops.cell import CellSpec, apply_cell, init_cell
 from rag_tpu.ops.convbr import ConvBRSpec, apply_convbr, init_convbr
 from rag_tpu.ops.cost_volume import cost_volume
 from rag_tpu.ops.disparity import soft_argmin_disparity
+from rag_tpu.ops.pallas_kernels import soft_argmin_disparity_fused
 from rag_tpu.ops.resize import resize_linear
 
 MAXDISP = 192
@@ -176,6 +177,7 @@ def stereo_forward(
     right,
     train_sites=frozenset(),
     cost_constraint=None,
+    fused_head=None,
 ):
     """Full pipeline. left/right: (B,H,W,3) NHWC. Returns (disp, new_stats)
     with disp (B,H,W) in pixels.
@@ -188,6 +190,12 @@ def stereo_forward(
     cost_constraint: optional fn applied to the (B,D,H,W,2C) cost volume —
     the hook for mesh sharding constraints (spatial/disparity parallelism of
     the memory-dominant volume; see rag_tpu.parallel).
+
+    fused_head: use the Pallas fused disparity head (eval/serving paths
+    pass True). The fused op's backward currently recomputes the upsample
+    chain, which is slower end-to-end than XLA's stored-residual autodiff,
+    so differentiated paths keep the plain formulation until the fused
+    backward kernel lands.
     """
     new_stats: Dict[str, Any] = {}
     x = extract_feature(specs, params, stats, left, train_sites, new_stats)
@@ -199,7 +207,13 @@ def stereo_forward(
     if cost_constraint is not None:
         cost = cost_constraint(cost)
     mat = run_matching(specs, params, {**stats, **new_stats}, cost, train_sites, new_stats)
-    disp = soft_argmin_disparity(mat, MAXDISP, scale=3)
+    if fused_head is None:
+        fused_head = False  # safe default: callers that never differentiate
+        # (eval/serving steps) pass fused_head=True explicitly
+    if fused_head:
+        disp = soft_argmin_disparity_fused(mat, MAXDISP, 3)
+    else:
+        disp = soft_argmin_disparity(mat, MAXDISP, 3)
     # carry through stats for sites absent from this path (none today, but
     # keeps the contract total).
     for name in stats:

@@ -1,0 +1,212 @@
+"""Pallas TPU kernels for the hot ops.
+
+Fused soft-argmin disparity regression
+--------------------------------------
+The reference's Disp head (src/models/rag_model.py:32-44) trilinearly
+upsamples the (D, h, w) matching cost to (maxdisp, 3h, 3w), softmins over
+disparity and takes the expectation. Done naively that materializes a
+(B, 192, 3h, 3w) volume in HBM several times — at the 384x192 train crop
+that is ~450 MB per intermediate, and the op is purely memory bound.
+
+This kernel fuses the whole head: for each (batch, row-tile) grid step it
+DMAs the needed input rows (+1-row halo) into VMEM, performs the three
+interpolations as MXU matmuls against trace-time constant interpolation
+matrices, and reduces softmin+expectation in VMEM, writing only the final
+(3h, 3w) disparity tile. HBM traffic drops from O(maxdisp * 9hw) to
+O(D * hw + 9hw).
+
+The op is exposed with a custom VJP whose backward pass is the exact
+analytic gradient evaluated with the same interpolation matrices in plain
+XLA (correct everywhere; a fused backward kernel is future work).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rag_tpu.ops.resize import _interp_matrix_np
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _row_tile(h: int) -> int:
+    """Input-row tile: 8 keeps the (3*th) output rows 8-aligned (Mosaic
+    block constraint); fall back to the whole axis for tiny inputs."""
+    return 8 if h % 8 == 0 and h > 8 else h
+
+
+def _wblock(w_out: int) -> int:
+    """Output-width block: 384 lanes (3x128 — dynamic lane offsets must be
+    128-aligned) unless the output is narrower."""
+    return 384 if w_out >= 384 else w_out
+
+
+def _disp_kernel(x_hbm, u_d_ref, u_h_ref, u_w_ref, out_ref, scratch, sem,
+                 *, th: int, tin: int, h: int, maxdisp: int, w_out: int):
+    b = pl.program_id(0)
+    it = pl.program_id(1)
+    # x is host-padded by one row top/bottom, so every tile's haloed window
+    # starts at the aligned offset it*th (Mosaic faults on unaligned
+    # dynamic DMA offsets).
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(it * th, tin), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    xt = scratch[:]                                   # (D, TIN, w_pad)
+
+    rows_out = 3 * th
+    chunk = 8 if rows_out % 8 == 0 and rows_out > 8 else rows_out
+    wblk = _wblock(w_out)
+    dvals = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, maxdisp), 2).astype(jnp.float32)
+
+    # NOTE: python-unrolled chunk loops make Mosaic stack every chunk's
+    # buffers in VMEM simultaneously (observed 34 MB at eval geometry), so
+    # both loops are real fori_loops with dynamic-but-8/128-aligned slices.
+    def row_body(c, _):
+        r0 = pl.multiple_of(c * chunk, 8)
+        u_h = u_h_ref[0, pl.ds(r0, chunk), :]          # (chunk, tin)
+        xh = jax.lax.dot_general(                      # (chunk, D, w_pad)
+            u_h, xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def col_body(wb, _):
+            c0 = pl.multiple_of(wb * wblk, 128 if wblk % 128 == 0 else wblk)
+            lw = jax.lax.dot_general(                  # (chunk, D, wblk)
+                xh, u_w_ref[:, pl.ds(c0, wblk)], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = jax.lax.dot_general(              # (chunk, wblk, maxdisp)
+                lw, u_d_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(-logits, axis=-1)
+            out_ref[0, pl.ds(r0, chunk), pl.ds(c0, wblk)] = jnp.sum(
+                p * dvals, axis=-1)
+            return 0
+
+        jax.lax.fori_loop(0, w_out // wblk, col_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, rows_out // chunk, row_body, 0)
+
+
+def _disp_pallas_raw(x, maxdisp: int, scale: int, interpret: bool):
+    """x: (B, D, h, w) -> (B, scale*h, scale*w)."""
+    b, d, h, w = x.shape
+    th = _row_tile(h)
+    # 8-aligned haloed window: DMA offsets (it*th) and sizes (th+8) must
+    # both be sublane-aligned or Mosaic faults at runtime
+    tin = th + 8 if th >= 8 else th + 2
+    u_d = jnp.asarray(_interp_matrix_np(d, maxdisp, False))
+
+    # lane alignment: Mosaic can only collapse (… , D, w) into a matmul
+    # operand when w is a multiple of 128, so pad the input W; the output
+    # width pads to a multiple of the 384-lane W block (dynamic lane
+    # offsets must be 128-aligned) and is sliced back on the host. Padded
+    # rows/cols carry zero weight in u_w.
+    w_pad = max(-(-w // 128) * 128, 128) if w > 8 else w
+    w_out = w * scale
+    wblk = _wblock(w_out)
+    w_out_pad = -(-w_out // wblk) * wblk
+    u_w_np = np.zeros((w_pad, w_out_pad), np.float32)
+    u_w_np[:w, :w_out] = _interp_matrix_np(w, w_out, False).T
+    u_w = jnp.asarray(u_w_np)                            # (w_pad, w_out_pad)
+
+    # row padding keeps every tile's haloed DMA window in bounds: real row
+    # r lives at padded index r+1; window [it*th, it*th+tin)
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, tin - th - 1), (0, w_pad - w)))
+
+    # pre-blocked H matrix: one (3th, tin) window per row tile in PADDED
+    # row coordinates (padded index j <-> real row it*th - 1 + j); padding
+    # rows carry zero weight. This avoids dynamic lane-dim slicing inside
+    # the kernel (Mosaic requires 128-aligned dynamic indices there).
+    u_h_full = _interp_matrix_np(h, h * scale, False)
+    n_tiles = h // th
+    u_h_blocks = np.zeros((n_tiles, 3 * th, tin), np.float32)
+    for it in range(n_tiles):
+        for j in range(tin):
+            real = it * th - 1 + j
+            if 0 <= real < h:
+                u_h_blocks[it, :, j] = u_h_full[
+                    it * 3 * th:(it + 1) * 3 * th, real]
+    u_h = jnp.asarray(u_h_blocks)
+
+    kernel = functools.partial(
+        _disp_kernel, th=th, tin=tin, h=h, maxdisp=maxdisp, w_out=w_out_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u_d
+            pl.BlockSpec((1, 3 * th, tin), lambda bb, tt: (tt, 0, 0),
+                         memory_space=pltpu.VMEM),  # u_h per-tile block
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u_w
+        ],
+        out_specs=pl.BlockSpec(
+            (1, scale * th, w_out_pad), lambda bb, tt: (bb, tt, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, scale * h, w_out_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((d, tin, w_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x, u_d, u_h, u_w)
+    return out[:, :, :w_out] if w_out_pad != w_out else out
+
+
+def _disp_reference(x, maxdisp: int, scale: int):
+    """Plain-XLA forward (also the basis of the backward pass)."""
+    b, d, h, w = x.shape
+    u_d = jnp.asarray(_interp_matrix_np(d, maxdisp, False))
+    u_h = jnp.asarray(_interp_matrix_np(h, h * scale, False))
+    u_w = jnp.asarray(_interp_matrix_np(w, w * scale, False))
+    y = jnp.einsum("Dd,bdhw->bDhw", u_d, x)
+    y = jnp.einsum("Hh,bDhw->bDHw", u_h, y)
+    y = jnp.einsum("Ww,bDHw->bDHW", u_w, y)
+    p = jax.nn.softmax(-y, axis=1)
+    dvals = jnp.arange(maxdisp, dtype=x.dtype)
+    out = jnp.einsum("d,bdHW->bHW", dvals, p)
+    return out, (p, dvals, u_d, u_h, u_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_soft_argmin(x, maxdisp: int, scale: int):
+    """Fused disparity head. x: (B, D, h, w) 1-channel matching cost."""
+    if _on_tpu():
+        return _disp_pallas_raw(x, maxdisp, scale, interpret=False)
+    return _disp_reference(x, maxdisp, scale)[0]
+
+
+def _fsa_fwd(x, maxdisp, scale):
+    return fused_soft_argmin(x, maxdisp, scale), x
+
+
+def _fsa_bwd(maxdisp, scale, x, g):
+    # d(out)/d(y_k) = -p_k (k - out); chain through the three interpolations.
+    out, (p, dvals, u_d, u_h, u_w) = _disp_reference(x, maxdisp, scale)
+    dy = -p * (dvals[None, :, None, None] - out[:, None]) * g[:, None]
+    dx = jnp.einsum("Dd,bDHW->bdHW", u_d, dy)
+    dx = jnp.einsum("Hh,bdHW->bdhW", u_h, dx)
+    dx = jnp.einsum("Ww,bdhW->bdhw", u_w, dx)
+    return (dx,)
+
+
+fused_soft_argmin.defvjp(_fsa_fwd, _fsa_bwd)
+
+
+def soft_argmin_disparity_fused(cost, maxdisp: int, scale: int = 3):
+    """Drop-in for rag_tpu.ops.disparity.soft_argmin_disparity:
+    cost (B, D, h, w, 1) -> (B, scale*h, scale*w)."""
+    return fused_soft_argmin(cost[..., 0], maxdisp, scale)

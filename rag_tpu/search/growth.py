@@ -53,15 +53,44 @@ class OpSearchConfig:
     seed: int = 0
 
 
+def _stereo_steps(specs, trainable, optimizer):
+    return (make_train_step(specs, frozenset(), optimizer,
+                            trainable_sites=trainable),
+            make_eval_step(specs))
+
+
+def _stereo_args(batch):
+    return (batch["left"], batch["right"], batch["disparity"])
+
+
+def _depth_steps(specs, trainable, optimizer):
+    from rag_tpu.train.trainer import make_depth_eval_step, make_depth_train_step
+
+    return (make_depth_train_step(specs, frozenset(), optimizer,
+                                  trainable_sites=trainable),
+            make_depth_eval_step(specs))
+
+
+def _depth_args(batch):
+    return (batch["image"], batch["depth"])
+
+
+VARIANTS = {
+    "stereo": (_stereo_steps, _stereo_args),
+    "depth": (_depth_steps, _depth_args),
+}
+
+
 class OpSearch:
     """Runs the reuse-vs-new search for task t on an expanded net."""
 
     def __init__(self, net: GrowableStereoNet, config: OpSearchConfig,
-                 log: Optional[Callable] = print):
+                 log: Optional[Callable] = print, variant: str = "stereo"):
         self.net = net
         self.cfg = config
         self.log = log or (lambda *_: None)
         self._step_cache = {}
+        self._make_steps, self._batch_args = VARIANTS[variant]
 
     def _steps_for(self, arch, trainable):
         specs, _, _ = self.net.path(arch)
@@ -70,12 +99,8 @@ class OpSearch:
         if key not in self._step_cache:
             optimizer = make_optimizer(self.cfg.weight_decay, self.cfg.grad_clip)
             # bn_sites=∅: ALL BatchNorms frozen during op search
-            self._step_cache[key] = (
-                make_train_step(specs, frozenset(), optimizer,
-                                trainable_sites=trainable),
-                make_eval_step(specs),
-                optimizer,
-            )
+            train_step, eval_step = self._make_steps(specs, trainable, optimizer)
+            self._step_cache[key] = (train_step, eval_step, optimizer)
         return self._step_cache[key]
 
     def search(self, t: int, train_data, writer=None):
@@ -120,24 +145,29 @@ class OpSearch:
             for b in train_data.batches(cfg.batch, True, seed=epoch,
                                         indices=train_idx):
                 params, stats, opt_state, scalars = train_step(
-                    params, stats, opt_state, lr,
-                    b["left"], b["right"], b["disparity"])
+                    params, stats, opt_state, lr, *self._batch_args(b))
                 train_m.update({k: float(v) for k, v in scalars.items()})
 
             valid_m = AverageMeterDict()
             for b in train_data.batches(cfg.batch, False, seed=0,
                                         indices=valid_idx):
-                scalars = eval_step(params, stats, b["left"], b["right"],
-                                    b["disparity"])
+                scalars = eval_step(params, stats, *self._batch_args(b))
                 valid_m.update({k: float(v) for k, v in scalars.items()})
 
             net.write_back(arch, params, stats)
 
             vm = valid_m.mean()
-            valid_d1 = min(max(vm.get("D1", 1.0), 0.0), 1.0)
+            # quality in [0,1], higher = better: stereo uses 1 - D1
+            # (rag.py:307); depth uses the delta<1.25 accuracy
+            # (rag_depth/src/approaches/rag.py:334)
+            if "D1" in vm:
+                quality = 1.0 - min(max(vm.get("D1", 1.0), 0.0), 1.0)
+                valid_d1 = 1.0 - quality
+            else:
+                quality = min(max(vm.get("d1", 0.0), 0.0), 1.0)
+                valid_d1 = 1.0 - quality
             valid_loss = vm.get("loss", np.inf)
-            reward = (np.sqrt(1.0 - valid_d1) * np.log(model_size + 1.0)
-                      / np.e)
+            reward = np.sqrt(quality) * np.log(model_size + 1.0) / np.e
             self.log(f"[op-search t{t}] epoch {epoch} sel={selected} "
                      f"n_new={n_new} valid loss {valid_loss:.3f} "
                      f"D1 {100*valid_d1:.1f}% reward {reward:.4f}")

@@ -104,9 +104,43 @@ def make_eval_step(specs: Mapping, forward=stereo_forward):
     @jax.jit
     def step(params, stats, left, right, disp_gt):
         disp, _ = forward(specs, params, stats, left, right,
-                          train_sites=frozenset())
+                          train_sites=frozenset(), fused_head=True)
         loss, mask = supervised_loss(disp, disp_gt)
         return {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+
+    return step
+
+
+def make_selfsup_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
+                            trainable_sites: frozenset = None):
+    """Photometric (self-supervised) train step: the src_self variant's
+    train_epoch(..., supervise=False) (src_self/approaches/rag.py:215-280).
+    Ground truth, when present in the batch, is used for monitoring metrics
+    only — the loss never sees it."""
+    from rag_tpu.train.losses import photometric_loss
+
+    if trainable_sites is None:
+        trainable_sites = bn_sites
+    mask_fn = partial(_freeze_mask, trainable=lambda s: s in trainable_sites)
+
+    @jax.jit
+    def step(params, stats, opt_state, lr, left, right, disp_gt):
+        def loss_fn(p):
+            disp, new_stats = stereo_forward(specs, p, stats, left, right,
+                                             train_sites=bn_sites)
+            loss = photometric_loss(disp, left, right)
+            return loss, (disp, new_stats)
+
+        (loss, (disp, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        m = mask_fn(params)
+        grads = jax.tree_util.tree_map(lambda g, mm: g * mm, grads, m)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u, mm: u * mm, updates, m)
+        params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+        mask = (disp_gt > 0) & (disp_gt < MAXDISP)
+        scalars = {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+        return params, new_stats, opt_state, scalars
 
     return step
 
