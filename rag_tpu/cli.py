@@ -141,7 +141,7 @@ def main(argv=None):
         train, valid, test = make_datasets(args)
 
     tstart = time.time()
-    matrix = driver.run(train, valid, test)
+    matrix = driver.run(train, valid, test, resume=args.resume)
 
     if "D1" in matrix.metric_names:
         print("D1 matrix (%):\n" + matrix.format("D1", scale=100, fmt="{:6.2f}"))

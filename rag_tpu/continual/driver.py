@@ -149,10 +149,33 @@ class ContinualDriver:
 
     # -- experiment loop ---------------------------------------------------
 
+    def resume(self) -> int:
+        """Restore the net + forgetting matrix from the latest checkpoint.
+        Returns the first task index still to train (0 if no checkpoint).
+        The reference has no load path at all (README.md:83 solicits one)."""
+        from rag_tpu.continual.state import latest_task, load_checkpoint
+
+        if not self.checkpoint_dir:
+            return 0
+        t = latest_task(self.checkpoint_dir)
+        if t is None:
+            return 0
+        self.net, manifest = load_checkpoint(self.checkpoint_dir, t)
+        m = manifest.get("extra", {}).get("matrix")
+        if m:
+            for k, vals in m.items():
+                if k in self.matrix.m:
+                    arr = np.asarray(vals)
+                    n = min(arr.shape[0], self.matrix.num_tasks)
+                    self.matrix.m[k][:n, :n] = arr[:n, :n]
+        self.log(f"[resume] restored task {t} from {self.checkpoint_dir}")
+        return t + 1
+
     def run(self, train_datasets: Sequence, valid_datasets: Sequence,
-            test_datasets: Sequence) -> ForgettingMatrix:
+            test_datasets: Sequence, resume: bool = False) -> ForgettingMatrix:
         tstart = time.time()
-        for t in range(self.cfg.num_tasks):
+        start = self.resume() if resume else 0
+        for t in range(start, self.cfg.num_tasks):
             self.log("*" * 60 + f"\nTask {t}\n" + "*" * 60)
             self.train_task(t, train_datasets[t], valid_datasets[t])
             for u in range(t + 1):
@@ -166,7 +189,10 @@ class ContinualDriver:
                                     step=t)
             if self.checkpoint_dir:
                 from rag_tpu.continual.state import save_checkpoint
-                save_checkpoint(self.checkpoint_dir, self.net, task=t)
+                save_checkpoint(
+                    self.checkpoint_dir, self.net, task=t,
+                    extra={"matrix": {k: v.tolist()
+                                      for k, v in self.matrix.m.items()}})
         hours = (time.time() - tstart) / 3600
         headline = "D1" if "D1" in self.matrix.metric_names else \
             self.matrix.metric_names[-1]

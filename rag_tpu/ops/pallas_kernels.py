@@ -166,6 +166,144 @@ def _disp_pallas_raw(x, maxdisp: int, scale: int, interpret: bool):
     return out[:, :, :w_out] if w_out_pad != w_out else out
 
 
+def _disp_bwd_kernel(x_hbm, g_hbm, u_d_ref, u_fw_ref, u_bw_ref, u_w_ref,
+                     dx_ref, xw, gw, acc, semx, semg,
+                     *, th: int, txin: int, tgin: int, maxdisp: int,
+                     w_out: int):
+    """Backward tile: recompute softmin over the haloed out-row window,
+    form dy = -p (K - out) g, and pull it back through the transposed
+    interpolations. Each input-row tile receives ALL its contributions
+    from its own out-row window (halo 8), so there is no cross-tile
+    accumulation."""
+    b = pl.program_id(0)
+    it = pl.program_id(1)
+
+    dmx = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(it * th, txin), :], xw, semx)
+    dmg = pltpu.make_async_copy(
+        g_hbm.at[b, pl.ds(it * 3 * th, tgin), :], gw, semg)
+    dmx.start()
+    dmg.start()
+    dmx.wait()
+    dmg.wait()
+
+    acc[...] = jnp.zeros_like(acc)
+    wblk = _wblock(w_out)
+    dvals = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, maxdisp), 2).astype(jnp.float32)
+    chunk = 8 if tgin % 8 == 0 and tgin > 8 else tgin
+
+    def row_body(c, _):
+        r0 = pl.multiple_of(c * chunk, 8)
+        u_fw = u_fw_ref[0, pl.ds(r0, chunk), :]        # (chunk, txin)
+        xh = jax.lax.dot_general(                      # (chunk, D, w_pad)
+            u_fw, xw[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def col_body(wb, _):
+            c0 = pl.multiple_of(wb * wblk, 128 if wblk % 128 == 0 else wblk)
+            u_w_blk = u_w_ref[:, pl.ds(c0, wblk)]      # (w_pad, wblk)
+            lw = jax.lax.dot_general(                  # (chunk, D, wblk)
+                xh, u_w_blk, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = jax.lax.dot_general(              # (chunk, wblk, MD)
+                lw, u_d_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(-logits, axis=-1)
+            outv = jnp.sum(p * dvals, axis=-1)         # (chunk, wblk)
+            gblk = gw[pl.ds(r0, chunk), pl.ds(c0, wblk)]
+            dy = -p * (dvals - outv[..., None]) * gblk[..., None]
+            dlw = jax.lax.dot_general(                 # (chunk, wblk, D)
+                dy, u_d_ref[:], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            contrib = jax.lax.dot_general(             # (chunk, wblk->w_pad)
+                dlw, u_w_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (chunk, D, w_pad)
+            acc[pl.ds(r0, chunk), :, :] += contrib
+            return 0
+
+        jax.lax.fori_loop(0, w_out // wblk, col_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, tgin // chunk, row_body, 0)
+
+    dx_t = jax.lax.dot_general(                        # (th, D, w_pad)
+        u_bw_ref[0], acc[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[0] = jnp.transpose(dx_t, (1, 0, 2))
+
+
+def _disp_bwd_pallas(x, g, maxdisp: int, scale: int, interpret: bool):
+    """x: (B, D, h, w); g: (B, scale*h, scale*w) -> dx (B, D, h, w)."""
+    b, d, h, w = x.shape
+    th = _row_tile(h)
+    if th != 8:
+        # tiny inputs: analytic jnp backward is fine
+        return None
+    txin = th + 16   # x-row window with halo 8 each side
+    tgin = 3 * th + 16
+
+    w_pad = max(-(-w // 128) * 128, 128)
+    w_out = w * scale
+    wblk = _wblock(w_out)
+    w_out_pad = -(-w_out // wblk) * wblk
+
+    u_d = jnp.asarray(_interp_matrix_np(d, maxdisp, False))
+    u_w_np = np.zeros((w_pad, w_out_pad), np.float32)
+    u_w_np[:w, :w_out] = _interp_matrix_np(w, w_out, False).T
+    u_w = jnp.asarray(u_w_np)
+
+    u_h_full = _interp_matrix_np(h, h * scale, False)
+    n_tiles = h // th
+    u_fw = np.zeros((n_tiles, tgin, txin), np.float32)   # out-window x window
+    u_bw = np.zeros((n_tiles, th, tgin), np.float32)     # x-tile x out-window
+    for it in range(n_tiles):
+        for a in range(tgin):
+            out_row = it * 3 * th - 8 + a
+            if not (0 <= out_row < h * scale):
+                continue
+            for j in range(txin):
+                xr = it * th - 8 + j
+                if 0 <= xr < h:
+                    u_fw[it, a, j] = u_h_full[out_row, xr]
+            for r in range(th):
+                u_bw[it, r, a] = u_h_full[out_row, it * th + r]
+
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (8, 8), (0, w_pad - w)))
+    gpad = jnp.pad(g, ((0, 0), (8, 8), (0, w_out_pad - w_out)))
+
+    kernel = functools.partial(
+        _disp_bwd_kernel, th=th, txin=txin, tgin=tgin, maxdisp=maxdisp,
+        w_out=w_out_pad)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # g (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u_d
+            pl.BlockSpec((1, tgin, txin), lambda bb, tt: (tt, 0, 0),
+                         memory_space=pltpu.VMEM),  # u_fw block
+            pl.BlockSpec((1, th, tgin), lambda bb, tt: (tt, 0, 0),
+                         memory_space=pltpu.VMEM),  # u_bw block
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u_w
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d, th, w_pad), lambda bb, tt: (bb, 0, tt, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((d, txin, w_pad), jnp.float32),   # x window
+            pltpu.VMEM((tgin, w_out_pad), jnp.float32),  # g window
+            pltpu.VMEM((tgin, d, w_pad), jnp.float32),   # accumulator
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xpad, gpad, u_d, jnp.asarray(u_fw), jnp.asarray(u_bw), u_w)
+    return dx[:, :, :, :w] if w_pad != w else dx
+
+
 def _disp_reference(x, maxdisp: int, scale: int):
     """Plain-XLA forward (also the basis of the backward pass)."""
     b, d, h, w = x.shape
@@ -194,7 +332,12 @@ def _fsa_fwd(x, maxdisp, scale):
 
 
 def _fsa_bwd(maxdisp, scale, x, g):
-    # d(out)/d(y_k) = -p_k (k - out); chain through the three interpolations.
+    if _on_tpu():
+        dx = _disp_bwd_pallas(x, g, maxdisp, scale, interpret=False)
+        if dx is not None:
+            return (dx,)
+    # analytic fallback: d(out)/d(y_k) = -p_k (k - out), chained through
+    # the three interpolations.
     out, (p, dvals, u_d, u_h, u_w) = _disp_reference(x, maxdisp, scale)
     dy = -p * (dvals[None, :, None, None] - out[:, None]) * g[:, None]
     dx = jnp.einsum("Dd,bDHW->bdHW", u_d, dy)

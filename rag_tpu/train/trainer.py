@@ -81,8 +81,13 @@ def make_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
     @jax.jit
     def step(params, stats, opt_state, lr, left, right, disp_gt):
         def loss_fn(p):
+            # fused_head=False for training: the Pallas fwd+bwd head pair
+            # is faster in isolation (2.36 ms vs ~2.6) but measured slower
+            # in the full step (873 vs 941 pairs/s) — the opaque kernel
+            # boundary blocks XLA's cross-op fusion. Eval paths use the
+            # fused head (measured 1.28x at eval geometry).
             disp, new_stats = forward(specs, p, stats, left, right,
-                                      train_sites=bn_sites)
+                                      train_sites=bn_sites, fused_head=False)
             loss, mask = supervised_loss(disp, disp_gt)
             return loss, (disp, new_stats, mask)
 
