@@ -8,7 +8,7 @@ Protocol: canonical fine-tune workload (run_rag.sh): batch 4, 384x192 crop,
 full forward (feature net x2 -> 64-disparity cost volume -> 3D matching ->
 soft-argmin) + backward + SGD update, all BN training. The reference
 publishes no throughput (BASELINE.md); vs_baseline is measured against the
-round-1 f32 JAX baseline of 894 pairs/s on one v5e chip (20-step amortized,
+round-1 f32 JAX baseline of 16.7 pairs/s on one v5e chip (fetch-fenced,
 recorded in BASELINE.md) — ratios > 1.0 are speedups over that first
 unoptimized TPU implementation.
 """
@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ROUND1_BASELINE_PAIRS_PER_S = 894.0  # see BASELINE.md (measured round 1)
+ROUND1_BASELINE_PAIRS_PER_S = 16.7  # see BASELINE.md (measured round 1)
 
 
 def main():
@@ -61,18 +61,21 @@ def main():
     gt = jax.device_put(jnp.asarray(
         rng.uniform(1.0, 180.0, (b, h, w)), jnp.float32), dev)
 
-    # compile + warmup
+    # compile + warmup; NOTE: on the axon relay, block_until_ready does not
+    # actually fence device execution — only a VALUE fetch does. Every
+    # timing below ends with a scalar fetch that depends on the whole
+    # chain of steps.
     for _ in range(2):
         params, stats, opt_state, scalars = step(
             params, stats, opt_state, 1e-3, left, right, gt)
-    jax.block_until_ready(params)
+    float(scalars["loss"])
 
     iters = 20
     t0 = time.time()
     for _ in range(iters):
         params, stats, opt_state, scalars = step(
             params, stats, opt_state, 1e-3, left, right, gt)
-    jax.block_until_ready(params)
+    float(scalars["loss"])  # true synchronization point
     dt = (time.time() - t0) / iters
     pairs_per_s = b / dt
 

@@ -66,7 +66,57 @@ def build_parser() -> argparse.ArgumentParser:
     # checkpointing
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--resume", action="store_true")
+
+    # cross-domain / checkpoint-only evaluation
+    p.add_argument("--eval-only", action="store_true",
+                   help="load --checkpoint-dir and evaluate --eval-lists "
+                        "(cross-domain, e.g. KITTI) instead of training")
+    p.add_argument("--eval-lists", nargs="*", default=[],
+                   help="filename lists to evaluate in --eval-only mode")
+    p.add_argument("--eval-task", type=int, default=None,
+                   help="fixed task path for --eval-only (default: task 0; "
+                        "with --use-router: per-frame routed)")
+    p.add_argument("--use-router", action="store_true")
     return p
+
+
+def eval_only(args):
+    """Cross-domain evaluation of a grown checkpoint (KITTI-style lists or
+    synthetic fallback)."""
+    from rag_tpu.continual.inference import RoutedInference
+    from rag_tpu.continual.state import load_checkpoint
+
+    assert args.checkpoint_dir, "--eval-only requires --checkpoint-dir"
+    net, manifest = load_checkpoint(args.checkpoint_dir)
+    print(f"loaded checkpoint after task {manifest['task']}; "
+          f"{len(net.archis)} task paths, {net.size_m():.3f} M params")
+
+    router = None
+    if args.use_router:
+        from rag_tpu.models.router import SceneRouter
+
+        router = SceneRouter(len(net.archis), seed=args.seed)
+    engine = RoutedInference(net, router)
+
+    if args.eval_lists:
+        from rag_tpu.data.stereo_dataset import StereoDataset
+
+        datasets = [(f, StereoDataset(f, False, root=args.data_root))
+                    for f in args.eval_lists]
+    else:
+        from rag_tpu.data.synthetic import SyntheticStereoDataset
+
+        h, w = args.synthetic_hw
+        datasets = [("synthetic", SyntheticStereoDataset(
+            args.synthetic_size, h, w, seed=123))]
+
+    task = None if args.use_router else (args.eval_task or 0)
+    for name, ds in datasets:
+        scalars = engine.evaluate(ds, task=task)
+        print(f"{name}: D1 {100*scalars.get('D1', 0):.2f}% "
+              f"EPE {scalars.get('EPE', 0):.3f} "
+              f"loss {scalars.get('loss', 0):.3f}")
+    return engine
 
 
 def make_datasets(args):
@@ -94,6 +144,8 @@ def make_datasets(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.eval_only:
+        return eval_only(args)
     from rag_tpu.continual.driver import (
         ContinualDriver,
         ExperimentConfig,

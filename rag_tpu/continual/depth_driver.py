@@ -83,11 +83,18 @@ class DepthContinualDriver(ContinualDriver):
         self.fine_tune(t, train_data, valid_data)
 
     def search_cell(self, t: int, train_data):
-        # depth cell search uses the default genotype for now (dedicated
-        # 2D supernet: future work); honor skip_cell_search semantics.
-        from rag_tpu.search.genotype import default_genotype
+        if self.cfg.skip_cell_search:
+            from rag_tpu.search.genotype import default_genotype
 
-        return default_genotype()
+            return default_genotype()
+        import dataclasses as _dc
+
+        from rag_tpu.search.mdenas import DepthCellSearch
+
+        cs = DepthCellSearch(_dc.replace(self.cfg.cell,
+                                         seed=self.cfg.cell.seed + t),
+                             log=self.log)
+        return cs.search(train_data, writer=self.writer, task=t)
 
     def fine_tune(self, t: int, train_data, valid_data):
         cfg = self.cfg.train

@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rag_tpu.ops.convbr import ConvBRSpec, apply_convbr, init_convbr
 from rag_tpu.ops.cost_volume import cost_volume
@@ -254,3 +255,89 @@ def supernet_forward(params, stats, left, right, fea_ops, mat_ops, train: bool):
     cost = cost_volume(x, y, MAXDISP // 3)
     mat = _mat_forward(params, stats, cost, mat_ops, train, new_stats)
     return soft_argmin_disparity(mat, MAXDISP, 3), new_stats
+
+
+# ---------------------------------------------------------------------------
+# Depth-variant supernet (rag_depth/src/automl/: matching half rewired to
+# 2D, cost = left features only, DispHead sigmoid x max_depth)
+# ---------------------------------------------------------------------------
+
+_DMAT_STEMS = {"stem0": ConvBRSpec(2, INITIAL_FM, INITIAL_FM, 3, 1)}
+_DMAT_CELLS = tuple(
+    SuperCellSpec(2, s.c_pp, s.c_p, s.c_out, s.mode) for s in _MAT_CELLS
+)
+_DMAT_LAST = {
+    "last_3": ConvBRSpec(2, INITIAL_FM, 1, 3, 1, bn=False, relu=False),
+    "last_6": ConvBRSpec(2, INITIAL_FM * 2, INITIAL_FM, 1, 1),
+    "last_12": ConvBRSpec(2, INITIAL_FM * 4, INITIAL_FM * 2, 1, 1),
+}
+MAX_DEPTH = 80.0
+
+
+def init_depth_supernet(key):
+    params: Dict[str, Any] = {"fea": {}, "mat": {}}
+    stats: Dict[str, Any] = {"fea": {}, "mat": {}}
+    k = iter(jax.random.split(key, 32))
+    for name, spec in {**_FEA_STEMS, **_FEA_LAST}.items():
+        params["fea"][name], stats["fea"][name] = init_convbr(next(k), spec)
+    for i, spec in enumerate(_FEA_CELLS):
+        params["fea"][f"cell{i}"], stats["fea"][f"cell{i}"] = init_supercell(next(k), spec)
+    for name, spec in {**_DMAT_STEMS, **_DMAT_LAST}.items():
+        params["mat"][name], stats["mat"][name] = init_convbr(next(k), spec)
+    for i, spec in enumerate(_DMAT_CELLS):
+        params["mat"][f"cell{i}"], stats["mat"][f"cell{i}"] = init_supercell(next(k), spec)
+    # task-shared DispHead (conv 1->1 + bias, sigmoid, x3 upsample, x80 m)
+    kk = next(k)
+    head = {"w": jax.random.normal(kk, (3, 3, 1, 1)) * np.sqrt(2.0 / 9),
+            "b": jnp.zeros((1,))}
+    params["depth_head"] = head
+    return params, stats
+
+
+def _dmat_forward(params, stats, fea, ops, train, new_stats):
+    ns = new_stats["mat"]
+
+    def conv(name, h):
+        out, ns[name] = apply_convbr(_DMAT_STEMS.get(name) or _DMAT_LAST[name],
+                                     params["mat"][name], stats["mat"][name], h, train)
+        return out
+
+    def cell(i, s0, s1):
+        out, ns[f"cell{i}"] = apply_supercell(
+            _DMAT_CELLS[i], params["mat"][f"cell{i}"], stats["mat"][f"cell{i}"],
+            s0, s1, ops, train)
+        return out
+
+    stem = conv("stem0", fea)
+    l3 = cell(0, None, stem)
+    l3_1 = cell(1, stem, l3)
+    l3_2 = cell(2, l3, l3_1)
+    l6 = cell(3, l3_1, l3_2)
+    l12 = cell(4, l3_2, l6)
+    l6b = cell(5, l6, l12)
+    l12_1 = cell(6, l12, l6b)
+    l12_2 = cell(7, l6b, l12_1)
+
+    h, w = fea.shape[1], fea.shape[2]
+    x = conv("last_12", l12_2)
+    x = resize_linear(x, (h // 2, w // 2), (1, 2), align_corners=True)
+    x = conv("last_6", x)
+    x = resize_linear(x, (h, w), (1, 2), align_corners=True)
+    return conv("last_3", x)  # (B, h, w, 1)
+
+
+def depth_supernet_forward(params, stats, image, fea_ops, mat_ops, train: bool):
+    """Depth search-supernet: image -> depth (B,H,W) in [0, MAX_DEPTH]."""
+    import jax.numpy as jnp
+
+    new_stats: Dict[str, Any] = {"fea": {}, "mat": {}}
+    fea = _fea_forward(params, stats, image, fea_ops, train, new_stats)
+    mat = _dmat_forward(params, stats, fea, mat_ops, train, new_stats)
+    hp = params["depth_head"]
+    y = jax.lax.conv_general_dilated(
+        mat, hp["w"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + hp["b"]
+    y = jax.nn.sigmoid(y)
+    h, w = fea.shape[1], fea.shape[2]
+    y = resize_linear(y, (h * 3, w * 3), (1, 2), align_corners=False)
+    return y[..., 0] * MAX_DEPTH, new_stats

@@ -88,9 +88,28 @@ _DIMNUMS = {
     3: ("NDHWC", "DHWIO", "NDHWC"),
 }
 
+# compute dtype policy: params/BN stay float32; conv inputs+weights cast to
+# this dtype (bfloat16 feeds the MXU at full rate; f32 costs multiple
+# passes). Set RAG_TPU_COMPUTE_DTYPE=float32 to disable.
+import os as _os
+
+COMPUTE_DTYPE = jnp.dtype(_os.environ.get("RAG_TPU_COMPUTE_DTYPE", "float32"))
+
 
 def _conv(x, w, spec: ConvBRSpec):
     pad = [(spec.padding, spec.padding)] * spec.ndim
+    if COMPUTE_DTYPE != jnp.float32:
+        # same-dtype in/out keeps the conv VJP well-typed; accumulation in
+        # the MXU is f32 regardless, the cast after restores f32 activations
+        y = jax.lax.conv_general_dilated(
+            x.astype(COMPUTE_DTYPE),
+            w.astype(COMPUTE_DTYPE),
+            window_strides=(spec.stride,) * spec.ndim,
+            padding=pad,
+            dimension_numbers=_DIMNUMS[spec.ndim],
+            preferred_element_type=COMPUTE_DTYPE,
+        )
+        return y.astype(jnp.float32)
     return jax.lax.conv_general_dilated(
         x,
         w,

@@ -51,6 +51,10 @@ class OpSearchConfig:
     grad_clip: float = 5.0
     o_size: int = 10
     seed: int = 0
+    # truncate architecture scoring to this many batches (the src_self
+    # variant's active `if step > 10: break` proxy validation,
+    # src_self/approaches/rag.py:529-530); None = full split
+    eval_max_batches: Optional[int] = None
 
 
 def _stereo_steps(specs, trainable, optimizer):
@@ -149,8 +153,11 @@ class OpSearch:
                 train_m.update({k: float(v) for k, v in scalars.items()})
 
             valid_m = AverageMeterDict()
-            for b in train_data.batches(cfg.batch, False, seed=0,
-                                        indices=valid_idx):
+            for step_i, b in enumerate(train_data.batches(
+                    cfg.batch, False, seed=0, indices=valid_idx)):
+                if (cfg.eval_max_batches is not None
+                        and step_i >= cfg.eval_max_batches):
+                    break
                 scalars = eval_step(params, stats, *self._batch_args(b))
                 valid_m.update({k: float(v) for k, v in scalars.items()})
 

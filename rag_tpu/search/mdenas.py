@@ -72,7 +72,7 @@ class CellSearch:
         self.cfg = config
         self.log = log or (lambda *_: None)
         key = jax.random.PRNGKey(config.seed)
-        self.params, self.stats = init_supernet(key)
+        self.params, self.stats = self._init_net(key)
         self.optimizer = make_optimizer(config.weight_decay, config.grad_clip)
         self.opt_state = self.optimizer.init(self.params)
         self.p = {
@@ -81,6 +81,19 @@ class CellSearch:
         }
         self._train_step = self._make_train_step()
         self._eval_step = self._make_eval_step()
+
+    @staticmethod
+    def _init_net(key):
+        return init_supernet(key)
+
+    @staticmethod
+    def _batch_args(b):
+        return (b["left"], b["right"], b["disparity"])
+
+    @staticmethod
+    def _quality(vm):
+        """Reward quality in [0,1], higher=better (1 - valid_D1)."""
+        return 1.0 - min(max(vm.get("D1", 1.0), 0.0), 1.0)
 
     def _make_train_step(self):
         optimizer = self.optimizer
@@ -144,34 +157,34 @@ class CellSearch:
                                         indices=train_idx):
                 self.params, self.stats, self.opt_state, scalars = self._train_step(
                     self.params, self.stats, self.opt_state, lr,
-                    b["left"], b["right"], b["disparity"], fea_ops, mat_ops)
+                    *self._batch_args(b), fea_ops, mat_ops)
                 train_m.update({k: float(v) for k, v in scalars.items()})
 
             valid_m = AverageMeterDict()
             for b in train_data.batches(cfg.batch, False, seed=0,
                                         indices=valid_idx):
                 scalars = self._eval_step(
-                    self.params, self.stats, b["left"], b["right"],
-                    b["disparity"], fea_ops, mat_ops)
+                    self.params, self.stats, *self._batch_args(b),
+                    fea_ops, mat_ops)
                 valid_m.update({k: float(v) for k, v in scalars.items()})
 
             tm, vm = train_m.mean(), valid_m.mean()
-            valid_d1 = vm.get("D1", 1.0)
+            quality = self._quality(vm)
             self.log(
                 f"[cell-search t{task}] epoch {epoch} lr {lr:.4f} "
                 f"train loss {tm.get('loss', 0):.3f} "
-                f"valid loss {vm.get('loss', 0):.3f} D1 {100*valid_d1:.1f}%")
+                f"valid loss {vm.get('loss', 0):.3f} quality {quality:.3f}")
             if writer is not None:
                 writer.scalars(f"search_cell/task{task}",
                                {"train_loss": tm.get("loss", 0.0),
                                 "valid_loss": vm.get("loss", 0.0),
-                                "valid_d1": valid_d1}, step=epoch)
+                                "quality": quality}, step=epoch)
 
             # h_e / h_a bookkeeping and the pairwise update (per cell type)
             for k in self.p:
                 for e in range(NUM_EDGES):
                     h_e[k][e, ops[k][e]] += 1
-                    h_a[k][e, ops[k][e]] = 1.0 - valid_d1
+                    h_a[k][e, ops[k][e]] = quality
                 self.p[k] = mdenas_update(self.p[k], h_e[k], h_a[k], cfg.lr_a)
 
             if vm.get("loss", np.inf) < best_loss:
@@ -186,3 +199,63 @@ class CellSearch:
         geno = self.genotype()
         self.log(f"[cell-search t{task}] best genotype: {geno}")
         return geno
+
+
+class DepthCellSearch(CellSearch):
+    """MdeNAS over the depth supernet (rag_depth variant): monocular input,
+    2D matching half, silog objective, delta1 reward quality."""
+
+    @staticmethod
+    def _init_net(key):
+        from rag_tpu.models.supernet import init_depth_supernet
+
+        return init_depth_supernet(key)
+
+    @staticmethod
+    def _batch_args(b):
+        return (b["image"], b["depth"])
+
+    @staticmethod
+    def _quality(vm):
+        return min(max(vm.get("d1", 0.0), 0.0), 1.0)
+
+    def _make_train_step(self):
+        from rag_tpu.metrics.depth import depth_metrics
+        from rag_tpu.models.supernet import depth_supernet_forward
+        from rag_tpu.train.losses import silog_loss
+
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step(params, stats, opt_state, lr, image, depth_gt,
+                 fea_ops, mat_ops):
+            def loss_fn(p):
+                pred, new_stats = depth_supernet_forward(
+                    p, stats, image, fea_ops, mat_ops, train=True)
+                mask = depth_gt > 0
+                return silog_loss(pred, depth_gt, mask), (pred, new_stats, mask)
+
+            (loss, (pred, new_stats, mask)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda q, u: q - lr * u,
+                                            params, updates)
+            scalars = {"loss": loss, **depth_metrics(pred, depth_gt, mask)}
+            return params, new_stats, opt_state, scalars
+
+        return step
+
+    def _make_eval_step(self):
+        from rag_tpu.metrics.depth import depth_metrics
+        from rag_tpu.models.supernet import depth_supernet_forward
+        from rag_tpu.train.losses import silog_loss
+
+        @jax.jit
+        def step(params, stats, image, depth_gt, fea_ops, mat_ops):
+            pred, _ = depth_supernet_forward(
+                params, stats, image, fea_ops, mat_ops, train=False)
+            mask = depth_gt > 0
+            loss = silog_loss(pred, depth_gt, mask)
+            return {"loss": loss, **depth_metrics(pred, depth_gt, mask)}
+
+        return step
