@@ -103,6 +103,19 @@ def build_head_specs() -> Dict[str, ConvBRSpec]:
     }
 
 
+def _default_cf() -> bool:
+    """Channel-first matching by default on TPU (the Pallas conv3d kernel
+    needs W on lanes); channels-last elsewhere."""
+    import os
+
+    if os.environ.get("RAG_TPU_CF_MATCHING", "") == "0":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _init_one(key, spec: Spec):
     if isinstance(spec, CellSpec):
         return init_cell(key, spec)
@@ -146,6 +159,44 @@ def extract_feature(specs, params, stats, image, train_sites, new_stats):
     return _apply(specs, params, stats, "last_3_2d", s_p, train_sites, new_stats)
 
 
+def run_matching_cf(specs, params, stats, cost, train_sites, new_stats):
+    """Channel-first matching path: cost (B, D, 2C, h, w) -> (B, D, h, w).
+
+    Same math as run_matching in the TPU-native (B,D,C,H,W) layout: the
+    Pallas conv3d kernel runs without per-call transposes, and the
+    1-channel output drops straight into the disparity head.
+    """
+    from rag_tpu.ops.cell import apply_cell_cf
+    from rag_tpu.ops.convbr_cf import apply_convbr_cf
+
+    def appl(name, x, *extra):
+        spec = specs[name]
+        train = name in train_sites
+        if isinstance(spec, CellSpec):
+            out, st = apply_cell_cf(spec, params[name], stats[name],
+                                    extra[0], x, train)
+        else:
+            out, st = apply_convbr_cf(spec, params[name], stats[name], x, train)
+        new_stats[name] = st
+        return out
+
+    stem0 = appl("stem_3d0", cost)
+    stem1 = appl("stem_3d1", stem0)
+    s_pp, s_p = stem0, stem1
+    for i in range(8):
+        out = appl(f"cell_3d{i}", s_p, s_pp)
+        s_pp, s_p = s_p, out
+
+    d, h, w = cost.shape[1], cost.shape[3], cost.shape[4]
+    x = appl("last_12_3d", s_p)
+    x = resize_linear(x, (d // 2, h // 2, w // 2), (1, 3, 4),
+                      align_corners=True)
+    x = appl("last_6_3d", x)
+    x = resize_linear(x, (d, h, w), (1, 3, 4), align_corners=True)
+    mat = appl("last_3_3d", x)          # (B, D, 1, h, w)
+    return mat[:, :, 0]
+
+
 def run_matching(specs, params, stats, cost, train_sites, new_stats):
     """3D matching net: cost (B,D,h,w,2C) -> matching score (B,D,h,w,1).
 
@@ -178,6 +229,7 @@ def stereo_forward(
     train_sites=frozenset(),
     cost_constraint=None,
     fused_head=None,
+    cf_matching=None,
 ):
     """Full pipeline. left/right: (B,H,W,3) NHWC. Returns (disp, new_stats)
     with disp (B,H,W) in pixels.
@@ -206,10 +258,22 @@ def stereo_forward(
     cost = cost_volume(x, y, MAXDISP // 3)
     if cost_constraint is not None:
         cost = cost_constraint(cost)
-    mat = run_matching(specs, params, {**stats, **new_stats}, cost, train_sites, new_stats)
+    if cf_matching is None:
+        # cf only pays off when the Pallas conv3d kernel can run (W on a
+        # full lane tile); otherwise the cf XLA fallback transposes per conv
+        cf_matching = (_default_cf() and cost.shape[3] % 128 == 0
+                       and cost.shape[2] % 8 == 0)
     if fused_head is None:
         fused_head = False  # safe default: callers that never differentiate
         # (eval/serving steps) pass fused_head=True explicitly
+    if cf_matching:
+        cost_cf = jnp.transpose(cost, (0, 1, 4, 2, 3))  # (B, D, 2C, h, w)
+        mat_sq = run_matching_cf(specs, params, {**stats, **new_stats},
+                                 cost_cf, train_sites, new_stats)
+        mat = mat_sq[..., None]
+    else:
+        mat = run_matching(specs, params, {**stats, **new_stats}, cost,
+                           train_sites, new_stats)
     if fused_head:
         disp = soft_argmin_disparity_fused(mat, MAXDISP, 3)
     else:

@@ -145,7 +145,12 @@ def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
 
 
 def apply_convbr(spec: ConvBRSpec, params, stats, x, train: bool):
-    """Apply conv -> BN -> ReLU. Returns (y, new_stats)."""
+    """Apply conv -> BN -> ReLU (channels-last). Returns (y, new_stats).
+
+    NOTE: the Pallas conv3d kernel is NOT routed here — wrapping it with
+    per-call layout transposes measured 5x slower than plain XLA. The
+    kernel runs through the channel-first path (rag_tpu.ops.convbr_cf /
+    run_matching_cf) where the whole matching net stays in its layout."""
     y = _conv(x, params["w"], spec)
     if spec.bn:
         y, stats = batch_norm(y, params, stats, train)

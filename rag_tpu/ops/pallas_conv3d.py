@@ -1,0 +1,336 @@
+"""Pallas TPU kernel: small-channel 3x3x3 conv3d via in-VMEM im2col.
+
+Why: the matching net's 3D convs have 12-48 channels. XLA's conv strategy
+re-reads the input volume per tap (arithmetic intensity ~6 FLOP/byte ->
+memory bound), and the MXU's K dim sits nearly idle at C=12.
+
+Design (shaped by Mosaic layout rules found the hard way):
+  * CHANNEL-MAJOR layout (B, D, C, H, W): W rides the 128-lane dim exactly
+    (channels-minor blocks lane-pad 12 -> 128, a 10x VMEM blowup).
+  * one D-slice per grid step; the D-halo comes from passing the padded
+    input three times with d, d+1, d+2 blocked index maps — no manual DMA.
+  * H-halo by host padding rows; W-halo by in-kernel lane rolls with edge
+    masking (SAME zero padding).
+  * im2col patches (27*C, Hc*W) built with static sublane writes; one MXU
+    matmul (Cout, 27C) x (27C, Hc*W) per H-chunk, K=324 instead of 12;
+    fused BN affine + ReLU.
+
+Exposed as ``conv3d_brc`` (channels-last API, transposing at the
+boundary) with a custom VJP whose backward is the exact XLA transpose
+convolution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HC = 16  # H rows per in-kernel chunk
+
+
+def _shift_w(arr, dw, w):
+    """x[..., w + dw - 1] with zero fill (SAME padding along W).
+
+    arr: (..., W) with W on lanes; dw in {0,1,2}."""
+    if dw == 1:
+        return arr
+    # dw=0 -> shift right by 1; dw=2 -> shift left by 1 (pltpu.roll only
+    # accepts non-negative shifts, so left-by-1 is roll by w-1)
+    shift = 1 if dw == 0 else w - 1
+    rolled = pltpu.roll(arr, shift, axis=arr.ndim - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
+    if dw == 0:
+        return jnp.where(lane >= 1, rolled, 0.0)
+    return jnp.where(lane <= w - 2, rolled, 0.0)
+
+
+def _win(hc: int) -> int:
+    """Aligned slab-window rows per chunk (covers the +2 H halo)."""
+    return -(-(hc + 2) // 8) * 8
+
+
+def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
+                   out_ref, patches, *, h: int, w: int, cin: int,
+                   cout: int, relu: bool):
+    slabs = (s0_ref, s1_ref, s2_ref)
+    hc = HC if h % HC == 0 and h > HC else h
+    win = _win(hc)
+
+    def chunk_body(c, _):
+        h0 = pl.multiple_of(c * hc, 8)
+        # one aligned (cin, win, w) window load per D-slab; the dh/dw tap
+        # shifts are static slices/rolls of the loaded VALUE
+        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
+        t = 0
+        for dd in range(3):
+            for dh in range(3):
+                rows = bases[dd][:, dh:dh + hc, :]       # (cin, hc, w)
+                for dw in range(3):
+                    view = _shift_w(rows, dw, w)
+                    patches[t * cin:(t + 1) * cin, :] = view.reshape(
+                        cin, hc * w)
+                    t += 1
+        y = jax.lax.dot_general(                     # (cout, hc*w)
+            wk_ref[:], patches[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y * scale_ref[:, 0:1] + bias_ref[:, 0:1]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[0, 0, :, pl.ds(h0, hc), :] = y.reshape(cout, hc, w)
+        return 0
+
+    jax.lax.fori_loop(0, h // hc, chunk_body, 0)
+
+
+def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
+    """Channel-first core. x_cf: (B, D, C, H, W); wk: (Cout, 27*Cin)
+    tap-major; returns (B, D, Cout, H, W)."""
+    bsz, d, cin, h, w = x_cf.shape
+    cout = wk.shape[0]
+    hc = HC if h % HC == 0 and h > HC else h
+    # pad rows so every chunk's aligned window [h0, h0+win) is in bounds
+    win = _win(hc)
+    h_pad = (h - hc) + win  # >= h + 2
+    xp = jnp.pad(x_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
+
+    kernel = functools.partial(_conv3d_kernel, h=h, w=w, cin=cin,
+                               cout=cout, relu=relu)
+    mk_slab = lambda off: pl.BlockSpec(
+        (1, 1, cin, h_pad, w),
+        functools.partial(lambda b, dd, o: (b, dd + o, 0, 0, 0), o=off),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, d),
+        in_specs=[
+            mk_slab(0), mk_slab(1), mk_slab(2),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (Cout, 27C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale (Cout, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias  (Cout, 1)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((27 * cin, hc * w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, xp, xp, wk, scale.reshape(-1, 1), bias.reshape(-1, 1))
+
+
+def pack_weights(w):
+    """(3,3,3,Cin,Cout) -> (Cout, 27*Cin) in the kernel's tap-major order."""
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (3, 3, 3)
+    return w.reshape(27 * cin, cout).T
+
+
+def _xla_conv3d(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _conv3d_pallas(x, wk, scale, bias, relu: bool, interpret: bool):
+    """Channels-last wrapper: x (B,D,H,W,C) -> (B,D,H,W,Cout)."""
+    x_cf = jnp.transpose(x, (0, 1, 4, 2, 3))
+    y_cf = _conv3d_pallas_cf(x_cf, wk, scale, bias, relu, interpret)
+    return jnp.transpose(y_cf, (0, 1, 3, 4, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def conv3d_brc(x, w, scale, bias, relu=True):
+    """Fused 3x3x3 stride-1 conv + affine (BN) + ReLU.
+
+    x: (B,D,H,W,Cin); w: (3,3,3,Cin,Cout); scale/bias: (Cout,).
+    Pallas on TPU, XLA elsewhere.
+    """
+    if _on_tpu():
+        return _conv3d_pallas(x, pack_weights(w), scale, bias, relu,
+                              interpret=False)
+    y = _xla_conv3d(x, w) * scale + bias
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _fwd(x, w, scale, bias, relu):
+    return conv3d_brc(x, w, scale, bias, relu), (x, w, scale, bias)
+
+
+def _bwd(relu, res, g):
+    x, w, scale, bias = res
+    # exact backward through the XLA formulation
+    def f(x_, w_, scale_, bias_):
+        y = _xla_conv3d(x_, w_) * scale_ + bias_
+        return jnp.maximum(y, 0.0) if relu else y
+
+    _, vjp = jax.vjp(f, x, w, scale, bias)
+    return vjp(g)
+
+
+conv3d_brc.defvjp(_fwd, _bwd)
+
+
+# -- weight gradient kernel -------------------------------------------------
+
+
+def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
+                      *, h: int, w: int, cin: int, cout: int):
+    """dw[(tap,ci), co] += patches @ dz^T, accumulated across the whole
+    (B, D) grid into the single revisited output block."""
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, d == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    slabs = (s0_ref, s1_ref, s2_ref)
+    hc = HC if h % HC == 0 and h > HC else h
+    win = _win(hc)
+
+    def chunk_body(c, _):
+        h0 = pl.multiple_of(c * hc, 8)
+        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
+        t = 0
+        for dd in range(3):
+            for dh in range(3):
+                rows = bases[dd][:, dh:dh + hc, :]
+                for dw_ in range(3):
+                    view = _shift_w(rows, dw_, w)
+                    patches[t * cin:(t + 1) * cin, :] = view.reshape(
+                        cin, hc * w)
+                    t += 1
+        dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :].reshape(cout, hc * w)
+        out_ref[...] += jax.lax.dot_general(
+            patches[:], dzc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, h // hc, chunk_body, 0)
+
+
+def conv3d_dw_pallas(x_cf, dz_cf, interpret: bool = False):
+    """Weight gradient for the 3x3x3 stride-1 cf conv.
+
+    x_cf: (B, D, Cin, H, W); dz_cf: (B, D, Cout, H, W) cotangent of the
+    pre-affine conv output. Returns dw (3,3,3,Cin,Cout)."""
+    bsz, d, cin, h, w = x_cf.shape
+    cout = dz_cf.shape[2]
+    hc = HC if h % HC == 0 and h > HC else h
+    win = _win(hc)
+    h_pad = (h - hc) + win
+    xp = jnp.pad(x_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
+
+    kernel = functools.partial(_conv3d_dw_kernel, h=h, w=w, cin=cin,
+                               cout=cout)
+    mk_slab = lambda off: pl.BlockSpec(
+        (1, 1, cin, h_pad, w),
+        functools.partial(lambda b, dd, o: (b, dd + o, 0, 0, 0), o=off),
+        memory_space=pltpu.VMEM)
+    dw = pl.pallas_call(
+        kernel,
+        grid=(bsz, d),
+        in_specs=[
+            mk_slab(0), mk_slab(1), mk_slab(2),
+            pl.BlockSpec((1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((27 * cin, cout), lambda b, dd: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((27 * cin, hc * w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, xp, xp, dz_cf)
+    return dw.reshape(3, 3, 3, cin, cout)
+
+
+# -- channel-first entry (B, D, C, H, W), used by the native-cf matching
+#    path (rag_tpu.ops.convbr_cf) ------------------------------------------
+
+
+def _xla_conv3d_cf(x_cf, w):
+    xt = jnp.transpose(x_cf, (0, 2, 1, 3, 4))       # (B, C, D, H, W)
+    wt = jnp.transpose(w, (4, 3, 0, 1, 2))          # (O, I, kd, kh, kw)
+    y = jax.lax.conv_general_dilated(
+        xt, wt, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32)
+    return jnp.transpose(y, (0, 2, 1, 3, 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def conv3d_brc_cf(x_cf, w, scale, bias, relu=True):
+    """Fused conv+affine+ReLU on a channel-first (B,D,C,H,W) volume."""
+    if _on_tpu():
+        return _conv3d_pallas_cf(x_cf, pack_weights(w), scale, bias, relu,
+                                 interpret=False)
+    y = _xla_conv3d_cf(x_cf, w) * scale.reshape(1, 1, -1, 1, 1) \
+        + bias.reshape(1, 1, -1, 1, 1)
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _pallas_ok(x_cf) -> bool:
+    return (_on_tpu() and x_cf.shape[4] % 128 == 0
+            and x_cf.shape[3] % 8 == 0)
+
+
+def _conv_only_cf(x_cf, w):
+    cout = w.shape[-1]
+    if _pallas_ok(x_cf):
+        return _conv3d_pallas_cf(
+            x_cf, pack_weights(w), jnp.ones((cout,), jnp.float32),
+            jnp.zeros((cout,), jnp.float32), False, False)
+    return _xla_conv3d_cf(x_cf, w)
+
+
+def _fwd_cf(x, w, scale, bias, relu):
+    """Differentiated forward: keep the pre-affine conv output z as the
+    residual so the backward needs NO forward recompute (the naive
+    jax.vjp-of-XLA backward re-ran the conv just to get the ReLU mask)."""
+    z = _conv_only_cf(x, w)
+    sh = (1, 1, -1, 1, 1)
+    y = z * scale.reshape(sh) + bias.reshape(sh)
+    out = jnp.maximum(y, 0.0) if relu else y
+    return out, (x, w, scale, bias, z)
+
+
+def _bwd_cf(relu, res, g):
+    x, w, scale, bias, z = res
+    sh = (1, 1, -1, 1, 1)
+    if relu:
+        y = z * scale.reshape(sh) + bias.reshape(sh)
+        g = g * (y > 0)
+    axes = (0, 1, 3, 4)
+    dbias = jnp.sum(g, axis=axes)
+    dscale = jnp.sum(g * z, axis=axes)
+    dz = g * scale.reshape(sh)
+    # dL/dx = conv(dz, spatially-flipped io-transposed w) — 3x3x3 stride-1
+    # again, so the Pallas kernel handles it too
+    wf = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    dx = _conv_only_cf(dz, wf)
+    if _pallas_ok(x):
+        dw = conv3d_dw_pallas(x, dz)
+    else:
+        # XLA's conv-weight-gradient (a big spatial reduction)
+        _, vjp_w = jax.vjp(lambda w_: _xla_conv3d_cf(x, w_), w)
+        (dw,) = vjp_w(dz)
+    return dx, dw, dscale, dbias
+
+
+conv3d_brc_cf.defvjp(_fwd_cf, _bwd_cf)

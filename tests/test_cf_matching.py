@@ -1,0 +1,94 @@
+"""Channel-first matching path must numerically match channels-last."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_tpu.models.stereo import (
+    build_head_specs,
+    build_site_specs,
+    init_sites,
+    stereo_forward,
+)
+from rag_tpu.search.genotype import default_genotype
+
+
+def _path(key=0):
+    g = default_genotype()
+    specs = {**build_site_specs(g), **build_head_specs()}
+    params, stats = init_sites(jax.random.PRNGKey(key), specs)
+    return specs, params, stats
+
+
+def test_cf_matches_cl_eval():
+    specs, params, stats = _path()
+    left = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 96, 3))
+    right = jax.random.normal(jax.random.PRNGKey(2), (1, 48, 96, 3))
+    d_cl, _ = stereo_forward(specs, params, stats, left, right,
+                             cf_matching=False)
+    d_cf, _ = stereo_forward(specs, params, stats, left, right,
+                             cf_matching=True)
+    np.testing.assert_allclose(np.asarray(d_cf), np.asarray(d_cl),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_cf_matches_cl_train_stats():
+    specs, params, stats = _path()
+    left = jax.random.normal(jax.random.PRNGKey(3), (2, 48, 96, 3))
+    right = jax.random.normal(jax.random.PRNGKey(4), (2, 48, 96, 3))
+    ts = frozenset(specs)
+    d_cl, s_cl = stereo_forward(specs, params, stats, left, right,
+                                train_sites=ts, cf_matching=False)
+    d_cf, s_cf = stereo_forward(specs, params, stats, left, right,
+                                train_sites=ts, cf_matching=True)
+    np.testing.assert_allclose(np.asarray(d_cf), np.asarray(d_cl),
+                               rtol=1e-4, atol=1e-3)
+    # BN running stats agree across layouts
+    la = jax.tree_util.tree_leaves(s_cl)
+    lb = jax.tree_util.tree_leaves(s_cf)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_cf_gradients_match():
+    specs, params, stats = _path()
+    left = jax.random.normal(jax.random.PRNGKey(5), (1, 24, 48, 3))
+    right = jax.random.normal(jax.random.PRNGKey(6), (1, 24, 48, 3))
+
+    def loss(p, cf):
+        d, _ = stereo_forward(specs, p, stats, left, right, cf_matching=cf)
+        return jnp.mean(d ** 2)
+
+    g_cl = jax.grad(lambda p: loss(p, False))(params)
+    g_cf = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_cl),
+                    jax.tree_util.tree_leaves(g_cf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_conv3d_brc_cf_gradients_exact():
+    """Hand-rolled backward (saved-residual) vs autodiff of the XLA form."""
+    from rag_tpu.ops.pallas_conv3d import _xla_conv3d_cf, conv3d_brc_cf
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 4, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 4, 6)) * 0.3
+    scale = jax.random.normal(jax.random.PRNGKey(2), (6,)) * 0.4 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(3), (6,)) * 0.1
+
+    for relu in (True, False):
+        def f_fused(x_, w_, s_, b_):
+            return (conv3d_brc_cf(x_, w_, s_, b_, relu) ** 2).sum()
+
+        def f_ref(x_, w_, s_, b_):
+            y = _xla_conv3d_cf(x_, w_) * s_.reshape(1, 1, -1, 1, 1) \
+                + b_.reshape(1, 1, -1, 1, 1)
+            y = jnp.maximum(y, 0.0) if relu else y
+            return (y ** 2).sum()
+
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)

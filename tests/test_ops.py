@@ -185,3 +185,38 @@ class TestCell:
             [np.full((1, 4, 4, 4), v, np.float32) for v in (2.0, 2.0, 2.0)], axis=-1
         )
         np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+class TestMergedEdgeConvs:
+    def test_merged_matches_individual(self):
+        """The wide-conv merge (cell.py _merged_convbr) must be bitwise-
+        level equivalent to running each edge conv separately."""
+        from rag_tpu.ops.cell import CellSpec, apply_cell, init_cell, canonicalize_gene
+        from rag_tpu.ops.convbr import ConvBRSpec, apply_convbr
+        import jax, jax.numpy as jnp
+
+        gene = canonicalize_gene([(0, 1), (1, 1), (2, 1), (3, 1), (5, 1), (6, 1)])
+        spec = CellSpec(2, 12, 12, 4, 0, gene)
+        params, stats = init_cell(jax.random.PRNGKey(3), spec)
+        s0 = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 12))
+        s1 = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 12))
+        out, _ = apply_cell(spec, params, stats, s0, s1, train=False)
+
+        # manual reference: preprocess then individual convs per the DAG
+        pre = ConvBRSpec(2, 12, 4, 1)
+        prep = ConvBRSpec(2, 12, 4, 1)
+        conv = ConvBRSpec(2, 4, 4, 3)
+        a, _ = apply_convbr(pre, params["pre"], stats["pre"], s0, False)
+        b, _ = apply_convbr(prep, params["prep"], stats["prep"], s1, False)
+
+        def c(edge, x):
+            y, _ = apply_convbr(conv, params["ops"][str(edge)],
+                                stats["ops"][str(edge)], x, False)
+            return y
+
+        n0 = c(0, a) + c(1, b)
+        n1 = c(2, a) + c(3, b)
+        n2 = c(5, a) + c(6, b)
+        expected = jnp.concatenate([n0, n1, n2], axis=-1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)

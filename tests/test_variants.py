@@ -41,21 +41,24 @@ class TestDepthVariant:
         assert (d >= 0).all() and (d <= MAX_DEPTH).all()
 
     def test_train_step_reduces_loss(self):
+        # learnable data: SyntheticDepthDataset images carry a brightness
+        # depth cue (random per-pixel gt is unlearnable and made this flaky)
+        from rag_tpu.continual.depth_driver import SyntheticDepthDataset
+
         specs, params, stats = _depth_path()
         opt = make_optimizer(3e-4, 5.0)
         opt_state = opt.init(params)
         step = make_depth_train_step(specs, frozenset(specs), opt)
         ev = make_depth_eval_step(specs)
-        img = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 48, 3))
-        gt = jnp.asarray(
-            np.random.default_rng(0).uniform(1, 60, (2, 24, 48)), jnp.float32)
+        b = next(SyntheticDepthDataset(8, 24, 48, seed=0).batches(4))
+        img, gt = jnp.asarray(b["image"]), jnp.asarray(b["depth"])
         before = float(ev(params, stats, img, gt)["loss"])
-        for _ in range(8):
+        for _ in range(25):
             params, stats, opt_state, sc = step(params, stats, opt_state,
-                                                0.01, img, gt)
+                                                0.005, img, gt)
         after = float(ev(params, stats, img, gt)["loss"])
         assert np.isfinite(after)
-        assert after < before
+        assert after < before, (before, after)
 
     def test_growable_depth_net(self):
         net = GrowableDepthNet(jax.random.PRNGKey(0), default_genotype())
