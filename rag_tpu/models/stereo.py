@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from rag_tpu.ops.cell import CellSpec, apply_cell, init_cell
 from rag_tpu.ops.convbr import ConvBRSpec, apply_convbr, init_convbr
-from rag_tpu.ops.cost_volume import cost_volume
+from rag_tpu.ops.cost_volume import cost_volume, cost_volume_cf
 from rag_tpu.ops.disparity import soft_argmin_disparity
 from rag_tpu.ops.pallas_kernels import soft_argmin_disparity_fused
 from rag_tpu.ops.resize import resize_linear
@@ -255,23 +255,23 @@ def stereo_forward(
     # matching the reference's two sequential BN updates per step.
     mid = {**stats, **new_stats}
     y = extract_feature(specs, params, mid, right, train_sites, new_stats)
-    cost = cost_volume(x, y, MAXDISP // 3)
-    if cost_constraint is not None:
-        cost = cost_constraint(cost)
     if cf_matching is None:
-        # cf only pays off when the Pallas conv3d kernel can run (W on a
-        # full lane tile); otherwise the cf XLA fallback transposes per conv
-        cf_matching = (_default_cf() and cost.shape[3] % 128 == 0
-                       and cost.shape[2] % 8 == 0)
+        # cf pays off whenever the Pallas conv3d kernel can run (it lane-
+        # pads W internally; H must tile by 8)
+        cf_matching = (_default_cf() and x.shape[1] % 8 == 0
+                       and cost_constraint is None)
     if fused_head is None:
         fused_head = False  # safe default: callers that never differentiate
         # (eval/serving steps) pass fused_head=True explicitly
     if cf_matching:
-        cost_cf = jnp.transpose(cost, (0, 1, 4, 2, 3))  # (B, D, 2C, h, w)
+        cost_cf = cost_volume_cf(x, y, MAXDISP // 3)   # (B, D, 2C, h, w)
         mat_sq = run_matching_cf(specs, params, {**stats, **new_stats},
                                  cost_cf, train_sites, new_stats)
         mat = mat_sq[..., None]
     else:
+        cost = cost_volume(x, y, MAXDISP // 3)
+        if cost_constraint is not None:
+            cost = cost_constraint(cost)
         mat = run_matching(specs, params, {**stats, **new_stats}, cost,
                            train_sites, new_stats)
     if fused_head:

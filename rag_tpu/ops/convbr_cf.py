@@ -63,7 +63,7 @@ def _kernel_ok(spec: ConvBRSpec, x) -> bool:
         return False
     if spec.kernel != 3 or spec.stride != 1:
         return False
-    if x.shape[4] % 128 != 0 or x.shape[3] % 8 != 0:
+    if x.shape[3] % 8 != 0:  # any W: the kernel lane-pads internally
         return False
     from rag_tpu.ops.pallas_conv3d import _on_tpu
 

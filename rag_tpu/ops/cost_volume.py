@@ -44,3 +44,28 @@ def cost_volume(x, y, num_disp: int):
     y_part = y_shift * mask
     x_part = jnp.broadcast_to(x[:, None], (b, d, h, w, c)) * mask
     return jnp.concatenate([x_part, y_part], axis=-1)
+
+
+def cost_volume_cf(x, y, num_disp: int):
+    """Channel-first cost volume: (B, H, W, C) features ->
+    (B, D, 2C, H, W), the native layout of the Pallas matching path.
+
+    Same semantics as cost_volume; built from small (B, C, H, W) feature
+    transposes instead of transposing the 40x bigger volume afterwards.
+    """
+    b, h, w, c = x.shape
+    d = num_disp
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))       # (B, C, H, W)
+    y_cf = jnp.transpose(y, (0, 3, 1, 2))
+    j = jnp.arange(w)[None, :]
+    disp = jnp.arange(d)[:, None]
+    src = j - disp                              # (D, W)
+    valid = (src >= 0).astype(x.dtype)
+    src_c = jnp.clip(src, 0, w - 1)
+
+    y_shift = jnp.take(y_cf, src_c, axis=3)     # (B, C, H, D, W)
+    y_shift = jnp.moveaxis(y_shift, 3, 1)       # (B, D, C, H, W)
+    mask = valid[None, :, None, None, :]
+    y_part = y_shift * mask
+    x_part = jnp.broadcast_to(x_cf[:, None], (b, d, c, h, w)) * mask
+    return jnp.concatenate([x_part, y_part], axis=2)

@@ -36,13 +36,19 @@ HC = 16  # H rows per in-kernel chunk
 def _shift_w(arr, dw, w):
     """x[..., w + dw - 1] with zero fill (SAME padding along W).
 
-    arr: (..., W) with W on lanes; dw in {0,1,2}."""
+    arr: (..., Wk) with Wk >= w on lanes (cols >= w are zero); dw in
+    {0,1,2}. When Wk > w the zero pad supplies the boundary zeros and the
+    wrap-around lands in pad columns (whose outputs are discarded), so
+    only the Wk == w case needs explicit edge masks."""
     if dw == 1:
         return arr
+    wk = arr.shape[-1]
     # dw=0 -> shift right by 1; dw=2 -> shift left by 1 (pltpu.roll only
-    # accepts non-negative shifts, so left-by-1 is roll by w-1)
-    shift = 1 if dw == 0 else w - 1
+    # accepts non-negative shifts, so left-by-1 is roll by wk-1)
+    shift = 1 if dw == 0 else wk - 1
     rolled = pltpu.roll(arr, shift, axis=arr.ndim - 1)
+    if wk > w:
+        return rolled  # zero pad supplies the edges; wrap lands in pad
     lane = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
     if dw == 0:
         return jnp.where(lane >= 1, rolled, 0.0)
@@ -54,37 +60,93 @@ def _win(hc: int) -> int:
     return -(-(hc + 2) // 8) * 8
 
 
+def _wk_of(w: int) -> int:
+    """Lane-padded tile width: kernel math runs at the next 128 multiple
+    (pad columns are explicit zeros; their outputs are sliced away)."""
+    return -(-w // 128) * 128 if w > 8 else w
+
+
 def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
                    out_ref, patches, *, h: int, w: int, cin: int,
                    cout: int, relu: bool):
     slabs = (s0_ref, s1_ref, s2_ref)
     hc = HC if h % HC == 0 and h > HC else h
     win = _win(hc)
+    wk = _wk_of(w)
 
     def chunk_body(c, _):
         h0 = pl.multiple_of(c * hc, 8)
         # one aligned (cin, win, w) window load per D-slab; the dh/dw tap
         # shifts are static slices/rolls of the loaded VALUE
         bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
+        if wk != w:
+            bases = [jnp.pad(b_, ((0, 0), (0, 0), (0, wk - w)))
+                     for b_ in bases]
         t = 0
         for dd in range(3):
             for dh in range(3):
-                rows = bases[dd][:, dh:dh + hc, :]       # (cin, hc, w)
+                rows = bases[dd][:, dh:dh + hc, :]       # (cin, hc, wk)
                 for dw in range(3):
                     view = _shift_w(rows, dw, w)
                     patches[t * cin:(t + 1) * cin, :] = view.reshape(
-                        cin, hc * w)
+                        cin, hc * wk)
                     t += 1
-        y = jax.lax.dot_general(                     # (cout, hc*w)
+        y = jax.lax.dot_general(                     # (cout, hc*wk)
             wk_ref[:], patches[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         y = y * scale_ref[:, 0:1] + bias_ref[:, 0:1]
         if relu:
             y = jnp.maximum(y, 0.0)
-        out_ref[0, 0, :, pl.ds(h0, hc), :] = y.reshape(cout, hc, w)
+        y = y.reshape(cout, hc, wk)
+        out_ref[0, 0, :, pl.ds(h0, hc), :] = y[:, :, :w]
         return 0
 
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
+
+
+def _conv3d_kernel_v3(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
+                      slabs, patches, sems, *, hb: int, w: int, cin: int,
+                      cout: int, relu: bool):
+    """Large-shape variant: H-tiled grid, manual aligned haloed DMAs (one
+    per D-offset), tap-GROUP accumulation (9 taps per matmul) to bound the
+    patches scratch."""
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+    ih = pl.program_id(2)
+    wk = _wk_of(w)
+    win = hb + 8
+
+    # x is host-padded to wk lanes (DMA lane extents must be 128-aligned)
+    for dd in range(3):
+        pltpu.make_async_copy(
+            x_hbm.at[b, d + dd, :, pl.ds(ih * hb, win), :],
+            slabs.at[dd], sems.at[dd]).start()
+    for dd in range(3):
+        pltpu.make_async_copy(
+            x_hbm.at[b, d + dd, :, pl.ds(ih * hb, win), :],
+            slabs.at[dd], sems.at[dd]).wait()
+
+    y = jnp.zeros((cout, hb * wk), jnp.float32)
+    for dd in range(3):
+        base = slabs[dd]                               # (cin, win, wk)
+        t = 0
+        for dh in range(3):
+            rows = base[:, dh:dh + hb, :]              # (cin, hb, wk)
+            for dw in range(3):
+                view = _shift_w(rows, dw, w)
+                patches[t * cin:(t + 1) * cin, :] = view.reshape(
+                    cin, hb * wk)
+                t += 1
+        y = y + jax.lax.dot_general(                   # (cout, hb*wk)
+            wk_ref[:, dd * 9 * cin:(dd + 1) * 9 * cin], patches[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    y = y * scale_ref[:, 0:1] + bias_ref[:, 0:1]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y = y.reshape(cout, hb, wk)
+    out_ref[0, 0] = y[:, :, :w]
 
 
 def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
@@ -93,35 +155,76 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
     bsz, d, cin, h, w = x_cf.shape
     cout = wk.shape[0]
     hc = HC if h % HC == 0 and h > HC else h
-    # pad rows so every chunk's aligned window [h0, h0+win) is in bounds
     win = _win(hc)
     h_pad = (h - hc) + win  # >= h + 2
-    xp = jnp.pad(x_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
+    wkl = _wk_of(w)
 
-    kernel = functools.partial(_conv3d_kernel, h=h, w=w, cin=cin,
+    # VMEM estimate for the blocked-slab (v2) variant: 3 slabs x double
+    # buffering + patches; fall over to the H-tiled manual-DMA (v3)
+    # variant when it exceeds the budget (large shapes, e.g. eval)
+    import os
+
+    v2_bytes = (3 * 2 * cin * (h_pad + 2) * w + 27 * cin * hc * wkl
+                + 2 * cout * h * w) * 4
+    force_v3 = os.environ.get("RAG_TPU_CONV3D_V3") == "1"
+    if v2_bytes <= 12 * 1024 * 1024 and h % 8 == 0 and not force_v3:
+        xp = jnp.pad(x_cf,
+                     ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
+        kernel = functools.partial(_conv3d_kernel, h=h, w=w, cin=cin,
+                                   cout=cout, relu=relu)
+        mk_slab = lambda off: pl.BlockSpec(
+            (1, 1, cin, h_pad, w),
+            functools.partial(lambda b, dd, o: (b, dd + o, 0, 0, 0), o=off),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, d),
+            in_specs=[
+                mk_slab(0), mk_slab(1), mk_slab(2),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (Cout,27C)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # scale (Cout, 1)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias  (Cout, 1)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((27 * cin, hc * wkl), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xp, xp, xp, wk, scale.reshape(-1, 1), bias.reshape(-1, 1))
+
+    # v3: grid over (B, D, H-tiles); row windows [ih*hb, ih*hb + hb + 8)
+    # of the host-padded rows must stay in bounds; W host-padded to the
+    # lane tile (DMA lane extents must be 128-aligned)
+    hb = 8
+    assert h % hb == 0, (h, hb)
+    h_pad3 = h + 16  # 1 top halo + >=1 bottom halo + window slack
+    xp = jnp.pad(x_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad3 - h - 1),
+                        (0, wkl - w)))
+    kernel = functools.partial(_conv3d_kernel_v3, hb=hb, w=w, cin=cin,
                                cout=cout, relu=relu)
-    mk_slab = lambda off: pl.BlockSpec(
-        (1, 1, cin, h_pad, w),
-        functools.partial(lambda b, dd, o: (b, dd + o, 0, 0, 0), o=off),
-        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(bsz, d),
+        grid=(bsz, d, h // hb),
         in_specs=[
-            mk_slab(0), mk_slab(1), mk_slab(2),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (Cout, 27C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale (Cout, 1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias  (Cout, 1)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
+            (1, 1, cout, hb, w), lambda b, dd, ih: (b, dd, 0, ih, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((27 * cin, hc * w), jnp.float32),
+            pltpu.VMEM((3, cin, hb + 8, wkl), jnp.float32),
+            pltpu.VMEM((9 * cin, hb * wkl), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(xp, xp, xp, wk, scale.reshape(-1, 1), bias.reshape(-1, 1))
+    )(xp, wk, scale.reshape(-1, 1), bias.reshape(-1, 1))
 
 
 def pack_weights(w):
@@ -201,10 +304,14 @@ def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
     slabs = (s0_ref, s1_ref, s2_ref)
     hc = HC if h % HC == 0 and h > HC else h
     win = _win(hc)
+    wk = _wk_of(w)
 
     def chunk_body(c, _):
         h0 = pl.multiple_of(c * hc, 8)
         bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
+        if wk != w:
+            bases = [jnp.pad(b_, ((0, 0), (0, 0), (0, wk - w)))
+                     for b_ in bases]
         t = 0
         for dd in range(3):
             for dh in range(3):
@@ -212,9 +319,12 @@ def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
                 for dw_ in range(3):
                     view = _shift_w(rows, dw_, w)
                     patches[t * cin:(t + 1) * cin, :] = view.reshape(
-                        cin, hc * w)
+                        cin, hc * wk)
                     t += 1
-        dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :].reshape(cout, hc * w)
+        dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
+        if wk != w:
+            dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
+        dzc = dzc.reshape(cout, hc * wk)
         out_ref[...] += jax.lax.dot_general(
             patches[:], dzc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -253,7 +363,7 @@ def conv3d_dw_pallas(x_cf, dz_cf, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((27 * cin, hc * w), jnp.float32),
+            pltpu.VMEM((27 * cin, hc * _wk_of(w)), jnp.float32),
         ],
         interpret=interpret,
     )(xp, xp, xp, dz_cf)
@@ -286,8 +396,8 @@ def conv3d_brc_cf(x_cf, w, scale, bias, relu=True):
 
 
 def _pallas_ok(x_cf) -> bool:
-    return (_on_tpu() and x_cf.shape[4] % 128 == 0
-            and x_cf.shape[3] % 8 == 0)
+    # any W (the kernel lane-pads tiles internally); H must tile by 8
+    return _on_tpu() and x_cf.shape[3] % 8 == 0
 
 
 def _conv_only_cf(x_cf, w):

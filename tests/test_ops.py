@@ -220,3 +220,14 @@ class TestMergedEdgeConvs:
         expected = jnp.concatenate([n0, n1, n2], axis=-1)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_cost_volume_cf_matches_cl():
+    from rag_tpu.ops.cost_volume import cost_volume, cost_volume_cf
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 10, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 10, 3))
+    cl = cost_volume(x, y, 5)                       # (B, D, H, W, 2C)
+    cf = cost_volume_cf(x, y, 5)                    # (B, D, 2C, H, W)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(cf, (0, 1, 3, 4, 2))), np.asarray(cl),
+        atol=1e-6)
