@@ -81,20 +81,32 @@ def _disp_kernel(x_hbm, u_d_ref, u_h_ref, u_w_ref, out_ref, scratch, sem,
             u_h, xt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        def col_body(wb, _):
-            c0 = pl.multiple_of(wb * wblk, 128 if wblk % 128 == 0 else wblk)
+        def col_block(uw_blk, c0_static, wb_dyn):
             lw = jax.lax.dot_general(                  # (chunk, D, wblk)
-                xh, u_w_ref[:, pl.ds(c0, wblk)], (((2,), (0,)), ((), ())),
+                xh, uw_blk, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             logits = jax.lax.dot_general(              # (chunk, wblk, maxdisp)
                 lw, u_d_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             p = jax.nn.softmax(-logits, axis=-1)
-            out_ref[0, pl.ds(r0, chunk), pl.ds(c0, wblk)] = jnp.sum(
-                p * dvals, axis=-1)
-            return 0
+            vals = jnp.sum(p * dvals, axis=-1)
+            if c0_static is not None:
+                out_ref[0, pl.ds(r0, chunk),
+                        c0_static:c0_static + wblk] = vals
+            else:
+                out_ref[0, pl.ds(r0, chunk), pl.ds(wb_dyn, wblk)] = vals
 
-        jax.lax.fori_loop(0, w_out // wblk, col_body, 0)
+        if w_out == wblk:
+            # single W block: static slices (dynamic lane indices must be
+            # provably 128-aligned, which wblk<384 widths are not)
+            col_block(u_w_ref[:, :], 0, None)
+        else:
+            def col_body(wb, _):
+                c0 = pl.multiple_of(wb * wblk, 128)
+                col_block(u_w_ref[:, pl.ds(c0, wblk)], None, c0)
+                return 0
+
+            jax.lax.fori_loop(0, w_out // wblk, col_body, 0)
         return 0
 
     jax.lax.fori_loop(0, rows_out // chunk, row_body, 0)

@@ -129,11 +129,48 @@ class CellSearch:
     def genotype(self) -> Genotype:
         return parse_genotype(self.p["normal"], self.p["reduce"])
 
-    def search(self, train_data, writer=None, task: int = 0) -> Genotype:
+    # -- mid-search checkpointing (SURVEY.md §5: the reference loses any
+    #    crash back to the last per-task ckpt; search state included here) -
+
+    def save_state(self, path: str, epoch: int, h_e, h_a):
+        import numpy as _np
+
+        flat, _ = jax.tree_util.tree_flatten((self.params, self.stats,
+                                              self.opt_state))
+        _np.savez(path,
+                  epoch=epoch,
+                  p_normal=self.p["normal"], p_reduce=self.p["reduce"],
+                  he_normal=h_e["normal"], he_reduce=h_e["reduce"],
+                  ha_normal=h_a["normal"], ha_reduce=h_a["reduce"],
+                  **{f"leaf_{i}": _np.asarray(l) for i, l in enumerate(flat)})
+
+    def load_state(self, path: str):
+        """Returns (start_epoch, h_e, h_a) and restores p/params/stats/opt."""
+        import numpy as _np
+
+        data = _np.load(path)
+        self.p = {"normal": data["p_normal"], "reduce": data["p_reduce"]}
+        h_e = {"normal": data["he_normal"], "reduce": data["he_reduce"]}
+        h_a = {"normal": data["ha_normal"], "reduce": data["ha_reduce"]}
+        _, treedef = jax.tree_util.tree_flatten((self.params, self.stats,
+                                                 self.opt_state))
+        n = len([k for k in data.files if k.startswith("leaf_")])
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+        self.params, self.stats, self.opt_state = \
+            jax.tree_util.tree_unflatten(treedef, leaves)
+        return int(data["epoch"]) + 1, h_e, h_a
+
+    def search(self, train_data, writer=None, task: int = 0,
+               checkpoint_path: str = None, checkpoint_every: int = 10,
+               resume: bool = False) -> Genotype:
         """Run the full MdeNAS loop; returns the best-by-valid-loss genotype.
 
         train_data: dataset exposing .batches(batch, shuffle, seed, indices).
+        checkpoint_path: optional .npz for mid-search state; resume=True
+        continues from it.
         """
+        import os as _os
+
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed + 1000 * task)
         train_idx, valid_idx = split_half(len(train_data))
@@ -141,8 +178,12 @@ class CellSearch:
         h_e = {k: np.zeros((NUM_EDGES, cfg.num_ops), np.int64) for k in self.p}
         h_a = {k: np.zeros((NUM_EDGES, cfg.num_ops), np.float64) for k in self.p}
         best_loss, best_p, best_params = np.inf, None, None
+        start_epoch = 0
+        if resume and checkpoint_path and _os.path.exists(checkpoint_path):
+            start_epoch, h_e, h_a = self.load_state(checkpoint_path)
+            self.log(f"[cell-search t{task}] resumed at epoch {start_epoch}")
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             lr = cosine_lr(cfg.lr, cfg.epochs, epoch, cfg.lr_min)
             ops = {
                 k: np.array([rng.choice(cfg.num_ops, p=self.p[k][e])
@@ -191,6 +232,9 @@ class CellSearch:
                 best_loss = vm.get("loss", np.inf)
                 best_p = {k: v.copy() for k, v in self.p.items()}
                 best_params = jax.tree_util.tree_map(lambda x: x, self.params)
+
+            if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+                self.save_state(checkpoint_path, epoch, h_e, h_a)
 
         if best_p is not None:
             self.p = best_p

