@@ -78,11 +78,15 @@ def init_supercell(key, spec: SuperCellSpec):
     return params, stats
 
 
-def _mixed_op(conv_spec, p, st, x, op_idx, train):
+def _mixed_op(conv_spec, p, st, x, op_idx, train, cf=False):
     """lax.cond between identity (op 0) and ConvBR 3x3 (op 1)."""
 
     def conv_branch(args):
         p_, st_, x_ = args
+        if cf:
+            from rag_tpu.ops.convbr_cf import apply_convbr_cf
+
+            return apply_convbr_cf(conv_spec, p_, st_, x_, train)
         return apply_convbr(conv_spec, p_, st_, x_, train)
 
     def skip_branch(args):
@@ -92,10 +96,22 @@ def _mixed_op(conv_spec, p, st, x, op_idx, train):
     return jax.lax.cond(op_idx == 1, conv_branch, skip_branch, (p, st, x))
 
 
-def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train):
-    """ops: (9,) int array of sampled op indices. Returns (out, new_stats)."""
+def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train,
+                    cf=False):
+    """ops: (9,) int array of sampled op indices. Returns (out, new_stats).
+
+    cf=True runs a 3D cell in the channel-first (B, D, C, H, W) layout
+    (the Pallas conv3d path — see rag_tpu.ops.convbr_cf)."""
     ndim = spec.ndim
-    axes = tuple(range(1, 1 + ndim))
+    if cf:
+        assert ndim == 3
+        axes = (1, 3, 4)
+        cat_axis = 2
+        from rag_tpu.ops.convbr_cf import apply_convbr_cf as _apply
+    else:
+        axes = tuple(range(1, 1 + ndim))
+        cat_axis = -1
+        _apply = apply_convbr
     new_stats: Dict[str, Any] = {"edges": {}}
 
     if spec.mode != "same":
@@ -103,7 +119,7 @@ def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train):
         tgt = tuple(scale_dimension(s1.shape[a], scale) for a in axes)
         s1 = resize_linear(s1, tgt, axes, align_corners=True)
     prep = ConvBRSpec(ndim, spec.c_p, spec.c_out, 1)
-    s1p, new_stats["prep"] = apply_convbr(prep, params["prep"], stats["prep"], s1, train)
+    s1p, new_stats["prep"] = _apply(prep, params["prep"], stats["prep"], s1, train)
 
     if spec.has_s0:
         s1_spatial = tuple(s1p.shape[a] for a in axes)
@@ -111,7 +127,7 @@ def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train):
             s0 = resize_linear(s0, s1_spatial, axes, align_corners=True)
         if spec.c_pp != spec.c_out:
             pre = ConvBRSpec(ndim, spec.c_pp, spec.c_out, 1)
-            s0, new_stats["pre"] = apply_convbr(pre, params["pre"], stats["pre"], s0, train)
+            s0, new_stats["pre"] = _apply(pre, params["pre"], stats["pre"], s0, train)
     else:
         s0 = None
 
@@ -126,12 +142,13 @@ def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train):
                 continue
             k = str(e)
             out, new_stats["edges"][k] = _mixed_op(
-                conv, params["edges"][k], stats["edges"][k], h, ops[e], train
+                conv, params["edges"][k], stats["edges"][k], h, ops[e],
+                train, cf=cf
             )
             acc = out if acc is None else acc + out
         offset += len(states)
         states.append(acc)
-    return jnp.concatenate(states[-BLOCK:], axis=-1), new_stats
+    return jnp.concatenate(states[-BLOCK:], axis=cat_axis), new_stats
 
 
 # ---------------------------------------------------------------------------
@@ -211,18 +228,28 @@ def _fea_forward(params, stats, x, ops, train, new_stats):
     return conv("last_3", l3_2)
 
 
-def _mat_forward(params, stats, cost, ops, train, new_stats):
+def _mat_forward(params, stats, cost, ops, train, new_stats, cf=False):
     ns = new_stats["mat"]
+    if cf:
+        from rag_tpu.ops.convbr_cf import apply_convbr_cf as _apply
 
-    def conv(name, h):
-        out, ns[name] = apply_convbr(_MAT_STEMS.get(name) or _MAT_LAST[name],
-                                     params["mat"][name], stats["mat"][name], h, train)
+        axes = (1, 3, 4)
+        d, h, w = cost.shape[1], cost.shape[3], cost.shape[4]
+    else:
+        _apply = apply_convbr
+        axes = (1, 2, 3)
+        d, h, w = cost.shape[1], cost.shape[2], cost.shape[3]
+
+    def conv(name, h_):
+        out, ns[name] = _apply(_MAT_STEMS.get(name) or _MAT_LAST[name],
+                               params["mat"][name], stats["mat"][name],
+                               h_, train)
         return out
 
     def cell(i, s0, s1):
         out, ns[f"cell{i}"] = apply_supercell(
             _MAT_CELLS[i], params["mat"][f"cell{i}"], stats["mat"][f"cell{i}"],
-            s0, s1, ops, train)
+            s0, s1, ops, train, cf=cf)
         return out
 
     stem = conv("stem0", cost)
@@ -236,24 +263,46 @@ def _mat_forward(params, stats, cost, ops, train, new_stats):
     l12_1 = cell(6, l12, l6b)        # 1/4
     l12_2 = cell(7, l6b, l12_1)      # 1/4
 
-    d, h, w = cost.shape[1], cost.shape[2], cost.shape[3]
     x = conv("last_12", l12_2)
-    x = resize_linear(x, (d // 2, h // 2, w // 2), (1, 2, 3), align_corners=True)
+    x = resize_linear(x, (d // 2, h // 2, w // 2), axes, align_corners=True)
     x = conv("last_6", x)
-    x = resize_linear(x, (d, h, w), (1, 2, 3), align_corners=True)
+    x = resize_linear(x, (d, h, w), axes, align_corners=True)
     return conv("last_3", x)
 
 
-def supernet_forward(params, stats, left, right, fea_ops, mat_ops, train: bool):
+def _default_cf_supernet() -> bool:
+    import os
+
+    if os.environ.get("RAG_TPU_CF_MATCHING", "") == "0":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def supernet_forward(params, stats, left, right, fea_ops, mat_ops,
+                     train: bool, cf_matching=None):
     """Full search-supernet pipeline. fea_ops/mat_ops: (9,) int arrays.
 
-    Returns (disp (B,H,W), new_stats)."""
+    Returns (disp (B,H,W), new_stats). On TPU the matching half runs in
+    the channel-first layout through the Pallas conv3d kernels."""
     new_stats: Dict[str, Any] = {"fea": {}, "mat": {}}
     x = _fea_forward(params, stats, left, fea_ops, train, new_stats)
     mid = {"fea": {**stats["fea"], **new_stats["fea"]}, "mat": stats["mat"]}
     y = _fea_forward(params, mid, right, fea_ops, train, new_stats)
-    cost = cost_volume(x, y, MAXDISP // 3)
-    mat = _mat_forward(params, stats, cost, mat_ops, train, new_stats)
+    if cf_matching is None:
+        cf_matching = _default_cf_supernet() and x.shape[1] % 8 == 0
+    if cf_matching:
+        from rag_tpu.ops.cost_volume import cost_volume_cf
+
+        cost = cost_volume_cf(x, y, MAXDISP // 3)     # (B, D, 2C, h, w)
+        mat = _mat_forward(params, stats, cost, mat_ops, train, new_stats,
+                           cf=True)                   # (B, D, 1, h, w)
+        mat = jnp.moveaxis(mat, 2, -1)                # (B, D, h, w, 1)
+    else:
+        cost = cost_volume(x, y, MAXDISP // 3)
+        mat = _mat_forward(params, stats, cost, mat_ops, train, new_stats)
     return soft_argmin_disparity(mat, MAXDISP, 3), new_stats
 
 

@@ -92,3 +92,38 @@ def test_conv3d_brc_cf_gradients_exact():
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_supernet_cf_matches_cl():
+    """Compare the PRE-softmin matching output (the disparity expectation
+    amplifies 1e-5 logit noise into pixels on untrained nets)."""
+    from rag_tpu.models.supernet import (
+        _mat_forward,
+        init_supernet,
+        supernet_forward,
+    )
+    from rag_tpu.ops.cost_volume import cost_volume, cost_volume_cf
+
+    params, stats = init_supernet(jax.random.PRNGKey(0))
+    left = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 48, 3))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 16, 12))
+    y = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 16, 12))
+    ops = jnp.asarray([0, 1, 0, 1, 1, 0, 1, 0, 1], jnp.int32)
+    for train in (False, True):
+        ns1 = {"fea": {}, "mat": {}}
+        mat_cl = _mat_forward(params, stats, cost_volume(x, y, 8), ops,
+                              train, ns1)
+        ns2 = {"fea": {}, "mat": {}}
+        mat_cf = _mat_forward(params, stats, cost_volume_cf(x, y, 8), ops,
+                              train, ns2, cf=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(mat_cf, 2, -1)), np.asarray(mat_cl),
+            rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(ns1["mat"]),
+                        jax.tree_util.tree_leaves(ns2["mat"])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+    # the end-to-end wrapper also runs in both layouts
+    d_cf, _ = supernet_forward(params, stats, left, left, ops, ops,
+                               train=False, cf_matching=True)
+    assert np.isfinite(np.asarray(d_cf)).all()
