@@ -57,7 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lamb", type=float, default=0.003)
 
     p.add_argument("--num-tasks", type=int, default=4)
-    p.add_argument("--maxdisp", type=int, default=192)
+    p.add_argument("--maxdisp", type=int, default=192,
+                   help="max disparity; cost volume depth = maxdisp // 3 "
+                        "(threaded through every stage, unlike the "
+                        "reference's dead flag)")
 
     # router
     p.add_argument("--train-router", action="store_true",
@@ -93,9 +96,15 @@ def eval_only(args):
 
     router = None
     if args.use_router:
-        from rag_tpu.models.router import SceneRouter
+        from rag_tpu.continual.state import load_router
 
-        router = SceneRouter(len(net.archis), seed=args.seed)
+        router = load_router(args.checkpoint_dir)
+        if router is None:
+            print("WARNING: no router.npz in the checkpoint dir; routed "
+                  "eval needs a driver run with --train-router first. "
+                  "Falling back to task-0 paths.")
+        else:
+            print(f"loaded Scene Router ({router.num_tasks} tasks)")
     engine = RoutedInference(net, router)
 
     if args.eval_lists:
@@ -110,7 +119,8 @@ def eval_only(args):
         datasets = [("synthetic", SyntheticStereoDataset(
             args.synthetic_size, h, w, seed=123))]
 
-    task = None if args.use_router else (args.eval_task or 0)
+    task = None if (args.use_router and router is not None) \
+        else (args.eval_task or 0)
     for name, ds in datasets:
         scalars = engine.evaluate(ds, task=task)
         print(f"{name}: D1 {100*scalars.get('D1', 0):.2f}% "
@@ -172,6 +182,8 @@ def main(argv=None):
         num_tasks=args.num_tasks,
         seed=args.seed,
         skip_cell_search=args.skip_cell_search,
+        maxdisp=args.maxdisp,
+        use_router=args.train_router,
     )
 
     if args.variant == "depth":
@@ -215,14 +227,9 @@ def main(argv=None):
     print(f"Model size: {driver.net.size_m():.3f} M params")
     print(f"Elapsed: {(time.time() - tstart) / 3600:.2f} h")
 
-    if args.train_router:
-        from rag_tpu.models.router import SceneRouter
-
-        router = SceneRouter(args.num_tasks, seed=args.seed)
-        router.train(train, epochs=3, batch=8, log=print)
-        acc = router.accuracy(test)
+    if driver.router is not None:
+        acc = driver.router.accuracy(test)
         print(f"Scene Router accuracy: {100 * acc:.1f}%")
-        writer.scalars("router", {"accuracy": acc})
 
     result = {
         **headline,

@@ -3,9 +3,10 @@
 Same search -> grow -> select -> fine-tune pipeline as the stereo driver,
 over GrowableDepthNet with silog training and the depth metric suite
 (reference: rag_depth/src/approaches/rag.py, run.py — per-metric 4x4
-matrices). Cell search currently reuses the stereo supernet's genotype
-search or the default genotype (`skip_cell_search`); a dedicated 2D depth
-supernet is tracked as future work.
+matrices). Cell search runs MdeNAS over the dedicated monocular 2D depth
+supernet (DepthCellSearch -> rag_tpu.models.supernet.init_depth_supernet:
+no right image, matching half rewired to 2D, DispHead sigmoid x max_depth —
+rag_depth/src/automl/mdenas_basicmodel.py:100-121).
 """
 
 from __future__ import annotations
@@ -46,7 +47,11 @@ class SyntheticDepthDataset:
                 indices=None, drop_last: bool = True):
         n = len(indices) if indices is not None else self.num_samples
         rng = np.random.default_rng(self.seed + seed)
-        for _ in range(max(n // batch_size, 0)):
+        n_batches = n // batch_size
+        if n % batch_size and not drop_last:
+            n_batches += 1  # final short batch kept (same size here: the
+            # data is generated, so we just emit another full batch)
+        for _ in range(n_batches):
             th, tw = max(self.h // 4, 1), max(self.w // 4, 1)
             tiles = rng.uniform(2.0, self.max_depth,
                                 (batch_size, (self.h + th - 1) // th,

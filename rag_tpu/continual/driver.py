@@ -14,6 +14,7 @@ reference never shipped; see rag_tpu.continual.state).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, List, Optional, Sequence
 
@@ -52,6 +53,39 @@ class ExperimentConfig:
     num_tasks: int = 4
     seed: int = 0
     skip_cell_search: bool = False  # use default_genotype() per task
+    maxdisp: int = 192              # cost-volume depth = maxdisp // 3
+    # Scene Router (paper capability the reference left dormant,
+    # rag_model.py:369): train it incrementally per task inside the driver
+    # and persist it with the checkpoints
+    use_router: bool = False
+    router_epochs: int = 3
+    router_batch: int = 8
+
+
+def _save_finetune_state(path, params, stats, opt_state, best, best_loss,
+                         epoch):
+    """Mid-fine-tune snapshot: live + best (params, stats), opt state,
+    epoch. Arrays flattened under deterministic leaf indices."""
+    flat, _ = jax.tree_util.tree_flatten(
+        (params, stats, opt_state, best[0], best[1]))
+    np.savez(path, epoch=epoch, best_loss=best_loss,
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(flat)})
+
+
+def _load_finetune_state(path, template):
+    """template: (params, stats, opt_state) with the right treedef."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    params, stats, opt_state = template
+    _, treedef = jax.tree_util.tree_flatten(
+        (params, stats, opt_state, params, stats))
+    n = len([k for k in data.files if k.startswith("leaf_")])
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    params, stats, opt_state, bp, bs = jax.tree_util.tree_unflatten(
+        treedef, leaves)
+    return (params, stats, opt_state, (bp, bs), float(data["best_loss"]),
+            int(data["epoch"]) + 1)
 
 
 class ContinualDriver:
@@ -63,34 +97,96 @@ class ContinualDriver:
         self.writer = writer or MetricWriter()
         self.log = log or (lambda *_: None)
         self.checkpoint_dir = checkpoint_dir
+        # mid-STAGE checkpoint cadence (epochs) for the long stages — the
+        # reference loses any crash back to the last per-task ckpt
+        # (SURVEY.md §5); 0 disables.
+        self.stage_checkpoint_every = 10
+        # fault-injection hook: stop fine-tune after this many epochs
+        # (right after the mid-stage checkpoint write) — resume tests
+        self._finetune_stop_after: Optional[int] = None
         self.net: Optional[GrowableStereoNet] = None
+        self.router = None  # SceneRouter when cfg.use_router
         self.matrix = ForgettingMatrix(config.num_tasks,
                                        ("D1", "EPE", "loss", "Thres1"))
         self._eval_cache = {}
 
     # -- stages ------------------------------------------------------------
 
+    def _stage_ckpt(self, name: str) -> Optional[str]:
+        """Path for a mid-stage checkpoint file (None when disabled)."""
+        if not self.checkpoint_dir or not self.stage_checkpoint_every:
+            return None
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        return os.path.join(self.checkpoint_dir, name)
+
     def search_cell(self, t: int, train_data) -> Genotype:
         if self.cfg.skip_cell_search:
             return default_genotype()
+        # stage-result artifact: a completed cell search never re-runs on
+        # resume (its mid-stage ckpt is consumed below)
+        geno_file = self._stage_ckpt(f"genotype_t{t}.json")
+        if geno_file and os.path.exists(geno_file):
+            from rag_tpu.continual.state import _geno_from
+            import json
+
+            with open(geno_file) as f:
+                geno = _geno_from(json.load(f))
+            self.log(f"[task {t}] loaded searched genotype from {geno_file}")
+            return geno
         cs = CellSearch(dataclasses.replace(self.cfg.cell,
-                                            seed=self.cfg.cell.seed + t),
+                                            seed=self.cfg.cell.seed + t,
+                                            maxdisp=self.cfg.maxdisp),
                         log=self.log)
-        return cs.search(train_data, writer=self.writer, task=t)
+        ckpt = self._stage_ckpt(f"cellsearch_t{t}.npz")
+        geno = cs.search(train_data, writer=self.writer, task=t,
+                         checkpoint_path=ckpt,
+                         checkpoint_every=self.stage_checkpoint_every,
+                         resume=bool(ckpt and os.path.exists(ckpt)))
+        if geno_file:
+            from rag_tpu.continual.state import _geno_json
+            import json
+
+            with open(geno_file, "w") as f:
+                json.dump(_geno_json(geno), f)
+        if ckpt and os.path.exists(ckpt):
+            os.remove(ckpt)
+        return geno
 
     def train_task(self, t: int, train_data, valid_data):
         """Full per-task pipeline (Appr.train, rag.py:79-105)."""
+        if self.net is not None and len(self.net.archis) > t:
+            # resumed mid-task AFTER select (archis[t] exists): the search
+            # stages are done, go straight to the fine-tune stage.
+            self.log(f"[task {t}] resumed post-select; fine-tune only")
+            self.writer.scalars("model_size_m",
+                                {"params_m": self.net.size_m()}, step=t)
+            self.fine_tune(t, train_data, valid_data)
+            return
         genotype = self.search_cell(t, train_data)
         key = jax.random.PRNGKey(self.cfg.seed + 31 * t)
         if t == 0:
             self.net = GrowableStereoNet(key, genotype)
         else:
             self.net.expand(key, t, genotype)
-            OpSearch(self.net, self.cfg.op, log=self.log).search(
-                t, train_data, writer=self.writer)
+            ckpt = self._stage_ckpt(f"opsearch_t{t}.npz")
+            OpSearch(self.net,
+                     dataclasses.replace(self.cfg.op,
+                                         maxdisp=self.cfg.maxdisp),
+                     log=self.log).search(
+                t, train_data, writer=self.writer, checkpoint_path=ckpt,
+                checkpoint_every=self.stage_checkpoint_every,
+                resume=bool(ckpt and os.path.exists(ckpt)))
+            if ckpt and os.path.exists(ckpt):
+                os.remove(ckpt)
             best = self.net.select(t)
             self.log(f"[task {t}] best_archi = {best}")
             self.writer.text(f"archi/task{t}", str(best))
+        if self.checkpoint_dir:
+            # mid-task stage checkpoint: a crash during fine-tune resumes
+            # here instead of redoing the searches
+            from rag_tpu.continual.state import save_checkpoint
+            save_checkpoint(self.checkpoint_dir, self.net, task=t,
+                            extra=self._ckpt_extra(stage="selected"))
         self.writer.scalars("model_size_m", {"params_m": self.net.size_m()},
                             step=t)
         self.fine_tune(t, train_data, valid_data)
@@ -103,34 +199,58 @@ class ContinualDriver:
         trainable = net.trainable_sites(t)
         specs, params, stats = net.path(arch)
         optimizer = make_optimizer(cfg.weight_decay, cfg.grad_clip)
-        train_step = make_train_step(specs, trainable, optimizer)
-        eval_step = make_eval_step(specs)
+        train_step = make_train_step(specs, trainable, optimizer,
+                                     maxdisp=self.cfg.maxdisp)
+        eval_step = make_eval_step(specs, maxdisp=self.cfg.maxdisp)
         opt_state = optimizer.init(params)
 
         best_loss = np.inf
         best = (params, stats)
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        ckpt = self._stage_ckpt(f"finetune_t{t}.npz")
+        if ckpt and os.path.exists(ckpt):
+            params, stats, opt_state, best, best_loss, start_epoch = \
+                _load_finetune_state(ckpt, (params, stats, opt_state))
+            self.log(f"[train t{t}] resumed at epoch {start_epoch}")
+        for epoch in range(start_epoch, cfg.epochs):
             lr = cosine_lr(cfg.lr, cfg.epochs, epoch)
             for b in train_data.batches(cfg.batch, True, seed=epoch):
                 params, stats, opt_state, _ = train_step(
                     params, stats, opt_state, lr,
                     b["left"], b["right"], b["disparity"])
 
+            # the reference evaluates BOTH the train and the valid loader
+            # each epoch (rag.py:129-131); best-by-valid drives rollback.
+            tm = AverageMeterDict()
+            for b in train_data.batches(cfg.batch, False, seed=0):
+                tm.update({k: float(v) for k, v in eval_step(
+                    params, stats, b["left"], b["right"], b["disparity"]
+                ).items()})
             vm = AverageMeterDict()
             for b in valid_data.batches(cfg.batch, False, seed=0):
                 vm.update({k: float(v) for k, v in eval_step(
                     params, stats, b["left"], b["right"], b["disparity"]
                 ).items()})
-            v = vm.mean()
+            tv, v = tm.mean(), vm.mean()
             self.log(f"[train t{t}] epoch {epoch} lr {lr:.5f} "
+                     f"train loss {tv.get('loss', 0):.3f} "
                      f"valid loss {v.get('loss', 0):.3f} "
                      f"D1 {100*v.get('D1', 0):.1f}% EPE {v.get('EPE', 0):.3f}")
             self.writer.scalars(f"train/task{t}", v, step=epoch)
+            self.writer.scalars(f"train/task{t}_trainset", tv, step=epoch)
             if v.get("loss", np.inf) < best_loss:
                 best_loss = v.get("loss", np.inf)
                 best = (params, stats)
+            if ckpt and (epoch + 1) % self.stage_checkpoint_every == 0:
+                _save_finetune_state(ckpt, params, stats, opt_state, best,
+                                     best_loss, epoch)
+            if (self._finetune_stop_after is not None
+                    and epoch + 1 >= self._finetune_stop_after):
+                return  # simulated kill (after the checkpoint write)
         params, stats = best
         net.write_back(arch, params, stats)
+        if ckpt and os.path.exists(ckpt):
+            os.remove(ckpt)
 
     def evaluate(self, u: int, test_data, batch: int = 1):
         """Eval task u with its stored path (rag.py:408-441)."""
@@ -147,11 +267,36 @@ class ContinualDriver:
                 params, stats, b["left"], b["right"], b["disparity"]).items()})
         return m.mean()
 
+    def train_router(self, t: int, train_datasets, test_datasets):
+        """Incremental Scene-Router training after task t on all scenes
+        seen so far (new build of the paper's dormant hook,
+        rag_model.py:369)."""
+        from rag_tpu.models.router import SceneRouter
+
+        if t == 0:
+            # one path exists — routing is trivial, and single-class
+            # training would only skew the classifier toward label 0
+            return
+        if self.router is None:
+            self.router = SceneRouter(self.cfg.num_tasks, seed=self.cfg.seed)
+        self.router.train(train_datasets[:t + 1],
+                          epochs=self.cfg.router_epochs,
+                          batch=self.cfg.router_batch, log=self.log)
+        acc = self.router.accuracy(test_datasets[:t + 1])
+        self.log(f"[router] after task {t}: scene accuracy {100*acc:.1f}%")
+        self.writer.scalars("router", {"accuracy": acc}, step=t)
+
     # -- experiment loop ---------------------------------------------------
+
+    def _ckpt_extra(self, stage: str) -> dict:
+        return {"stage": stage,
+                "matrix": {k: v.tolist() for k, v in self.matrix.m.items()}}
 
     def resume(self) -> int:
         """Restore the net + forgetting matrix from the latest checkpoint.
-        Returns the first task index still to train (0 if no checkpoint).
+        Returns the first task index still to train (0 if no checkpoint); a
+        mid-task ("selected") checkpoint re-enters its own task, whose
+        fine-tune then resumes from the finetune_t{t}.npz stage file.
         The reference has no load path at all (README.md:83 solicits one)."""
         from rag_tpu.continual.state import latest_task, load_checkpoint
 
@@ -168,8 +313,14 @@ class ContinualDriver:
                     arr = np.asarray(vals)
                     n = min(arr.shape[0], self.matrix.num_tasks)
                     self.matrix.m[k][:n, :n] = arr[:n, :n]
-        self.log(f"[resume] restored task {t} from {self.checkpoint_dir}")
-        return t + 1
+        stage = manifest.get("extra", {}).get("stage", "task_done")
+        if self.cfg.use_router:
+            from rag_tpu.continual.state import load_router
+
+            self.router = load_router(self.checkpoint_dir)
+        self.log(f"[resume] restored task {t} ({stage}) "
+                 f"from {self.checkpoint_dir}")
+        return t if stage == "selected" else t + 1
 
     def run(self, train_datasets: Sequence, valid_datasets: Sequence,
             test_datasets: Sequence, resume: bool = False) -> ForgettingMatrix:
@@ -187,12 +338,15 @@ class ContinualDriver:
                 self.writer.scalars("test", {f"task{u}_{k}": v
                                              for k, v in scalars.items()},
                                     step=t)
+            if self.cfg.use_router:
+                self.train_router(t, train_datasets, test_datasets)
             if self.checkpoint_dir:
                 from rag_tpu.continual.state import save_checkpoint
-                save_checkpoint(
-                    self.checkpoint_dir, self.net, task=t,
-                    extra={"matrix": {k: v.tolist()
-                                      for k, v in self.matrix.m.items()}})
+                save_checkpoint(self.checkpoint_dir, self.net, task=t,
+                                extra=self._ckpt_extra(stage="task_done"))
+                if self.router is not None:
+                    from rag_tpu.continual.state import save_router
+                    save_router(self.checkpoint_dir, self.router)
         hours = (time.time() - tstart) / 3600
         headline = "D1" if "D1" in self.matrix.metric_names else \
             self.matrix.metric_names[-1]

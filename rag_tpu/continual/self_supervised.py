@@ -69,9 +69,18 @@ class SelfSupContinualDriver(ContinualDriver):
         return ColorTransferDataset(self.proxy_search_data, real)
 
     def train_task(self, t: int, train_data, valid_data):
-        genotype = self.search_cell(t, train_data)
+        import os
+
+        import dataclasses as _dc
         import jax
 
+        if self.net is not None and len(self.net.archis) > t:
+            self.log(f"[task {t}] resumed post-select; fine-tune only")
+            if self.pretrain_data is not None:
+                self.pretrain(t)
+            self.fine_tune(t, train_data, valid_data)
+            return
+        genotype = self.search_cell(t, train_data)
         key = jax.random.PRNGKey(self.cfg.seed + 31 * t)
         if t == 0:
             from rag_tpu.models.growable import GrowableStereoNet
@@ -79,8 +88,16 @@ class SelfSupContinualDriver(ContinualDriver):
             self.net = GrowableStereoNet(key, genotype)
         else:
             self.net.expand(key, t, genotype)
-            OpSearch(self.net, self.cfg.op, log=self.log).search(
-                t, self._proxy_for(t, train_data), writer=self.writer)
+            ckpt = self._stage_ckpt(f"opsearch_t{t}.npz")
+            OpSearch(self.net,
+                     _dc.replace(self.cfg.op, maxdisp=self.cfg.maxdisp),
+                     log=self.log).search(
+                t, self._proxy_for(t, train_data), writer=self.writer,
+                checkpoint_path=ckpt,
+                checkpoint_every=self.stage_checkpoint_every,
+                resume=bool(ckpt and os.path.exists(ckpt)))
+            if ckpt and os.path.exists(ckpt):
+                os.remove(ckpt)
             best = self.net.select(t)
             self.log(f"[task {t}] best_archi = {best}")
         self.writer.scalars("model_size_m", {"params_m": self.net.size_m()},

@@ -63,6 +63,28 @@ def _geno_from(d) -> Genotype:
                     reduce=canonicalize_gene(d["reduce"]))
 
 
+def save_router(directory: str, router) -> None:
+    """Persist the Scene Router (params + optimizer state) next to the task
+    checkpoints. The router is task-count-global, so one file (overwritten
+    per task) rather than per-task copies."""
+    os.makedirs(directory, exist_ok=True)
+    np.savez(os.path.join(directory, "router.npz"),
+             num_tasks=router.num_tasks, **router.state_arrays())
+
+
+def load_router(directory: str):
+    """Rebuild the saved SceneRouter; None if never saved."""
+    path = os.path.join(directory, "router.npz")
+    if not os.path.exists(path):
+        return None
+    from rag_tpu.models.router import SceneRouter
+
+    data = dict(np.load(path))
+    router = SceneRouter(int(data["num_tasks"]))
+    router.load_arrays(data)
+    return router
+
+
 def save_checkpoint(directory: str, net: GrowableStereoNet, task: int,
                     extra: Optional[Dict] = None):
     os.makedirs(directory, exist_ok=True)
@@ -74,6 +96,7 @@ def save_checkpoint(directory: str, net: GrowableStereoNet, task: int,
         "num_heads": {h: len(net.heads[h]) for h in HEAD_NAMES},
         "born": {s: [u.born_task for u in net.units[s]] for s in SITE_NAMES},
         "p": [p.tolist() for p in net.p] if net.p is not None else None,
+        "model_to_train": net.model_to_train,
         "extra": extra or {},
     }
     arrays: Dict[str, np.ndarray] = {}
@@ -117,7 +140,10 @@ def load_checkpoint(directory: str, task: Optional[int] = None):
     net.p = ([np.asarray(p, np.float64) for p in manifest["p"]]
              if manifest["p"] is not None else None)
     net.new_models = None
-    net.model_to_train = None
+    mtt = manifest.get("model_to_train")
+    net.model_to_train = (
+        {k: [int(i) for i in v] for k, v in mtt.items()}
+        if mtt is not None else None)
 
     net.units = {}
     for s in SITE_NAMES:

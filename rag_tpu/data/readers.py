@@ -59,6 +59,36 @@ def normalize_imagenet(img: np.ndarray) -> np.ndarray:
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def denormalize_imagenet(img: np.ndarray) -> np.ndarray:
+    """Inverse of normalize_imagenet: back to [0,1] HWC (unclipped)."""
+    return img * IMAGENET_STD + IMAGENET_MEAN
+
+
+def resize_bilinear(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Host-side bilinear resize of an HW or HWC float array (the src_self
+    Cityscapes rule resizes with PIL ANTIALIAS before normalization,
+    src_self/dataloaders/stereo_dataset.py:56-71; bilinear is the numpy
+    equivalent for float data)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)
+    if img.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
 def read_all_lines(path: str):
     with open(path) as f:
         return [ln.strip() for ln in f if ln.strip()]

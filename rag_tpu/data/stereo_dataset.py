@@ -20,10 +20,22 @@ from rag_tpu.data.readers import (
     read_image,
     read_pfm,
     read_png_disparity,
+    resize_bilinear,
 )
 
 TRAIN_CROP = (384, 192)  # (w, h)
 EVAL_PAD = (960, 480)    # (w, h)
+# src_self cross-domain eval pad (fits KITTI + resized Cityscapes),
+# src_self/dataloaders/stereo_dataset.py:111-113
+SELFSUP_EVAL_PAD = (1248, 576)
+# SceneFlow-geometry eval pad of the proxy dataset,
+# src_self/dataloaders/sceneflow_driving_dataset.py:133-134
+SCENEFLOW_EVAL_PAD = (960, 540)
+
+# Cityscapes rule (src_self/dataloaders/stereo_dataset.py:56-71): frames
+# wider than 1800 px are resized to 1024x512 and their disparity halved.
+WIDE_THRESHOLD = 1800
+WIDE_RESIZE = (1024, 512)  # (w, h)
 
 
 def load_file_list(path: str) -> List[List[str]]:
@@ -35,12 +47,18 @@ class StereoDataset:
     full images (batch size 1 recommended, matching the reference)."""
 
     def __init__(self, list_file: str, training: bool,
-                 crop=TRAIN_CROP, pad=EVAL_PAD, root: str = ""):
+                 crop=TRAIN_CROP, pad=EVAL_PAD, root: str = "",
+                 resize_wide: bool = False):
+        """resize_wide enables the src_self Cityscapes rule: frames wider
+        than 1800 px resize to 1024x512 with disparity halved."""
         self.entries = load_file_list(list_file)
         self.training = training
         self.crop = crop
         self.pad = pad
         self.root = root
+        self.resize_wide = resize_wide
+        self._native = None       # lazy NativeStereoLoader (False = declined)
+        self.used_native = False  # observability: did batches() go native?
 
     def __len__(self):
         return len(self.entries)
@@ -53,9 +71,18 @@ class StereoDataset:
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
         entry = self.entries[index]
         jp = lambda p: os.path.join(self.root, p) if self.root else p
-        left = normalize_imagenet(read_image(jp(entry[0])))
-        right = normalize_imagenet(read_image(jp(entry[1])))
+        left = read_image(jp(entry[0]))
+        right = read_image(jp(entry[1]))
         disp = self._load_disp(jp(entry[2]))
+        if self.resize_wide and left.shape[1] > WIDE_THRESHOLD:
+            rw, rh = WIDE_RESIZE
+            left = resize_bilinear(left, rh, rw)
+            right = resize_bilinear(right, rh, rw)
+            # disparity is resized like an image THEN halved — the pixel
+            # shift scale follows the width ratio (src_self rule)
+            disp = resize_bilinear(disp, rh, rw) / 2.0
+        left = normalize_imagenet(left)
+        right = normalize_imagenet(right)
         h, w = disp.shape
 
         if self.training:
@@ -81,10 +108,54 @@ class StereoDataset:
             "right_pad": rightp,
         }
 
+    # -- native (C++) fast path -------------------------------------------
+
+    def _native_eligible(self) -> bool:
+        """Training batches stream through the threaded C++ decode/crop
+        plane (rag_runtime.cpp) when every file is PNG; eval keeps the
+        python path (deterministic ordering), as do index-subset reads.
+        RAG_TPU_NATIVE_IO=0 disables."""
+        if not self.training or self.resize_wide:
+            return False
+        if os.environ.get("RAG_TPU_NATIVE_IO", "1") == "0":
+            return False
+        if not self.entries or any(len(e) < 3 for e in self.entries):
+            return False
+        if not all(e[0].endswith(".png") and e[1].endswith(".png")
+                   and (e[2].endswith(".png") or e[2].endswith(".pfm"))
+                   for e in self.entries):
+            return False
+        from rag_tpu.runtime.native import native_available
+
+        return native_available()
+
+    def _native_loader(self, seed: int):
+        if self._native is None:
+            if self._native_eligible():
+                from rag_tpu.runtime.native import NativeStereoLoader
+
+                jp = (lambda p: os.path.join(self.root, p)) if self.root \
+                    else (lambda p: p)
+                entries = [[jp(e[0]), jp(e[1]), jp(e[2])]
+                           for e in self.entries]
+                self._native = NativeStereoLoader(
+                    entries, True, crop=self.crop, pad=self.pad, seed=seed)
+            else:
+                self._native = False
+        return self._native or None
+
     def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
                 indices: Optional[Sequence[int]] = None,
                 drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
         """Yield stacked NHWC batches."""
+        if indices is None:
+            loader = self._native_loader(seed)
+            if loader is not None:
+                self.used_native = True
+                stop = len(self) - (len(self) % batch_size if drop_last else 0)
+                for start in range(0, stop, batch_size):
+                    yield loader.next_batch(min(batch_size, stop - start))
+                return
         idx = np.asarray(indices if indices is not None else range(len(self)))
         rng = np.random.default_rng(seed)
         if shuffle:
@@ -100,8 +171,13 @@ class StereoDataset:
             }
 
 
-def split_half(n: int):
-    """The reference's 50/50 search split (mdenas_search.py:60-72): first
-    half trains weights, second half scores architectures."""
+def split_half(n: int, seed: Optional[int] = None):
+    """The reference's 50/50 search split (mdenas_search.py:60-72): a RANDOM
+    permutation split via SubsetRandomSampler — first half trains weights,
+    second half scores architectures. seed=None keeps the deterministic
+    first/second-half split (fine for pre-shuffled synthetic data)."""
     split = int(np.floor(0.5 * n))
-    return list(range(split)), list(range(split, n))
+    if seed is None:
+        return list(range(split)), list(range(split, n))
+    perm = np.random.default_rng(seed).permutation(n)
+    return perm[:split].tolist(), perm[split:].tolist()

@@ -69,3 +69,7 @@ class SyntheticStereoDataset:
         for _ in range(n // batch_size):
             yield synthetic_stereo_batch(rng, batch_size, self.h, self.w,
                                          self.max_disp)
+        rem = n % batch_size
+        if rem and not drop_last:
+            yield synthetic_stereo_batch(rng, rem, self.h, self.w,
+                                         self.max_disp)

@@ -4,7 +4,12 @@ Reference: src_self/dataloaders/sceneflow_driving_dataset.py:53-71 —
 synthetic (SceneFlow-Driving) pairs are color-matched to real left images of
 the current scene before being used as op-search proxy data: per-channel
 mean/std of the synthetic image are mapped onto the real image's statistics.
-Vectorized numpy version operating on [0,1] float HWC images.
+
+The reference transfers colors on RAW [0,1] images BEFORE ImageNet
+normalization (:86-93 — transfer happens on the PIL arrays; get_transform
+normalizes afterwards). Our datasets yield already-normalized tensors, so
+``ColorTransferDataset`` de-normalizes, transfers + clips in [0,1], and
+re-normalizes — clipping normalized data would destroy the signal.
 """
 
 from __future__ import annotations
@@ -12,6 +17,8 @@ from __future__ import annotations
 from typing import Dict, Iterator
 
 import numpy as np
+
+from rag_tpu.data.readers import denormalize_imagenet, normalize_imagenet
 
 
 def transfer_color(target: np.ndarray, source: np.ndarray) -> np.ndarray:
@@ -32,29 +39,42 @@ def transfer_color(target: np.ndarray, source: np.ndarray) -> np.ndarray:
 
 class ColorTransferDataset:
     """Wraps a synthetic/proxy dataset so every batch is color-matched to a
-    pool of real scene images (the current task's left frames)."""
+    pool of real scene images (the current task's left frames).
 
-    def __init__(self, proxy_dataset, real_images: np.ndarray):
-        """real_images: (N,H,W,3) in [0,1]."""
+    normalized=True (the default — our datasets yield ImageNet-normalized
+    tensors): both proxy batch and real pool are mapped back to [0,1] for
+    the transfer and the result re-normalized, matching the reference's
+    raw-image-space transfer. Real frames are cycled deterministically
+    (``index % len(real)``, sceneflow_driving_dataset.py:88).
+    """
+
+    def __init__(self, proxy_dataset, real_images: np.ndarray,
+                 normalized: bool = True):
+        """real_images: (N,H,W,3); normalized says whether proxy batches AND
+        the pool carry ImageNet-normalized values (else raw [0,1])."""
         self.proxy = proxy_dataset
-        self.real = real_images
+        self.normalized = normalized
+        self.real = (denormalize_imagenet(real_images) if normalized
+                     else real_images)
 
     def __len__(self):
         return len(self.proxy)
 
     def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
                 indices=None, drop_last: bool = True) -> Iterator[Dict]:
-        rng = np.random.default_rng(seed)
+        cursor = 0
         for b in self.proxy.batches(batch_size, shuffle, seed, indices,
                                     drop_last):
             n = b["left"].shape[0]
-            pick = rng.integers(0, len(self.real), size=n)
+            pick = (cursor + np.arange(n)) % len(self.real)
+            cursor += n
             ref = self.real[pick]
             out = dict(b)
-            out["left"] = np.stack([
-                transfer_color(b["left"][i], ref[i]) for i in range(n)
-            ]).astype(np.float32)
-            out["right"] = np.stack([
-                transfer_color(b["right"][i], ref[i]) for i in range(n)
-            ]).astype(np.float32)
+            for k in ("left", "right"):
+                img = denormalize_imagenet(b[k]) if self.normalized else b[k]
+                moved = np.stack([
+                    transfer_color(img[i], ref[i]) for i in range(n)
+                ])
+                out[k] = (normalize_imagenet(moved) if self.normalized
+                          else moved).astype(np.float32)
             yield out

@@ -52,14 +52,19 @@ class Unit:
 class GrowableStereoNet:
     """Host-side candidate registry + per-task architecture maps."""
 
-    # variant hooks: the depth variant (rag_tpu.models.depth) swaps these
-    SPEC_BUILDER = staticmethod(build_site_specs)
-    HEAD_BUILDER = staticmethod(build_head_specs)
+    # variant hooks: the depth variant (rag_tpu.models.depth) overrides
+    # these per-INSTANCE methods (round 1 mutated class attributes from
+    # __init__ — an action-at-a-distance trap once two variants coexist)
+    def spec_builder(self, genotype):
+        return build_site_specs(genotype)
+
+    def head_builder(self):
+        return build_head_specs()
 
     def __init__(self, key, genotype):
         self.genotypes = [genotype]
-        site_specs = self.SPEC_BUILDER(genotype)
-        head_specs = self.HEAD_BUILDER()
+        site_specs = self.spec_builder(genotype)
+        head_specs = self.head_builder()
         k1, k2 = jax.random.split(key)
         sp, ss = init_sites(k1, site_specs)
         hp, hs = init_sites(k2, head_specs)
@@ -86,8 +91,8 @@ class GrowableStereoNet:
         """Append one candidate per searchable site + fresh heads; build p."""
         assert t == len(self.genotypes), "tasks must expand in order"
         self.genotypes.append(genotype)
-        site_specs = self.SPEC_BUILDER(genotype)
-        head_specs = self.HEAD_BUILDER()
+        site_specs = self.spec_builder(genotype)
+        head_specs = self.head_builder()
         k1, k2 = jax.random.split(key)
         sp, ss = init_sites(k1, site_specs)
         hp, hs = init_sites(k2, head_specs)
@@ -198,19 +203,21 @@ class GrowableDepthNet(GrowableStereoNet):
     task-shared DispHead unit (rag_depth/src/models/rag_model.py:297-298 —
     created once, never expanded)."""
 
-    def __init__(self, key, genotype):
-        from rag_tpu.models.depth import (
-            build_depth_head_specs,
-            build_depth_site_specs,
-            init_depth_head,
-        )
+    def spec_builder(self, genotype):
+        from rag_tpu.models.depth import build_depth_site_specs
 
-        type(self).SPEC_BUILDER = staticmethod(build_depth_site_specs)
-        type(self).HEAD_BUILDER = staticmethod(build_depth_head_specs)
+        return build_depth_site_specs(genotype)
+
+    def head_builder(self):
+        from rag_tpu.models.depth import build_depth_head_specs
+
+        return build_depth_head_specs()
+
+    def __init__(self, key, genotype):
+        from rag_tpu.models.depth import DEPTH_HEAD_SPEC, init_depth_head
+
         k1, k2 = jax.random.split(key)
         super().__init__(k1, genotype)
-        from rag_tpu.models.depth import DEPTH_HEAD_SPEC
-
         p, s = init_depth_head(k2)
         self.depth_head = Unit(DEPTH_HEAD_SPEC, p, s, 0)
 

@@ -111,6 +111,23 @@ class SceneRouter:
     def predict(self, images) -> np.ndarray:
         return np.asarray(route(self.params, images))
 
+    # -- persistence (round 2: router state joins the continual checkpoint;
+    #    round 1 rebuilt a fresh random router in --eval-only, making routed
+    #    cross-domain eval meaningless on a reloaded checkpoint) -----------
+
+    def state_arrays(self) -> dict:
+        """Flat {key: np.ndarray} of params + optimizer state."""
+        flat, _ = jax.tree_util.tree_flatten((self.params, self.opt_state))
+        return {f"router_leaf_{i}": np.asarray(l) for i, l in enumerate(flat)}
+
+    def load_arrays(self, arrays: dict):
+        """Inverse of state_arrays (self must have the same num_tasks)."""
+        _, treedef = jax.tree_util.tree_flatten((self.params, self.opt_state))
+        n = len([k for k in arrays if k.startswith("router_leaf_")])
+        leaves = [jnp.asarray(arrays[f"router_leaf_{i}"]) for i in range(n)]
+        self.params, self.opt_state = jax.tree_util.tree_unflatten(
+            treedef, leaves)
+
     def accuracy(self, datasets, batch: int = 8) -> float:
         correct = total = 0
         for t, d in enumerate(datasets):

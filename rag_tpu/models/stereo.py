@@ -230,6 +230,7 @@ def stereo_forward(
     cost_constraint=None,
     fused_head=None,
     cf_matching=None,
+    maxdisp: int = MAXDISP,
 ):
     """Full pipeline. left/right: (B,H,W,3) NHWC. Returns (disp, new_stats)
     with disp (B,H,W) in pixels.
@@ -264,20 +265,20 @@ def stereo_forward(
         fused_head = False  # safe default: callers that never differentiate
         # (eval/serving steps) pass fused_head=True explicitly
     if cf_matching:
-        cost_cf = cost_volume_cf(x, y, MAXDISP // 3)   # (B, D, 2C, h, w)
+        cost_cf = cost_volume_cf(x, y, maxdisp // 3)   # (B, D, 2C, h, w)
         mat_sq = run_matching_cf(specs, params, {**stats, **new_stats},
                                  cost_cf, train_sites, new_stats)
         mat = mat_sq[..., None]
     else:
-        cost = cost_volume(x, y, MAXDISP // 3)
+        cost = cost_volume(x, y, maxdisp // 3)
         if cost_constraint is not None:
             cost = cost_constraint(cost)
         mat = run_matching(specs, params, {**stats, **new_stats}, cost,
                            train_sites, new_stats)
     if fused_head:
-        disp = soft_argmin_disparity_fused(mat, MAXDISP, 3)
+        disp = soft_argmin_disparity_fused(mat, maxdisp, 3)
     else:
-        disp = soft_argmin_disparity(mat, MAXDISP, 3)
+        disp = soft_argmin_disparity(mat, maxdisp, 3)
     # carry through stats for sites absent from this path (none today, but
     # keeps the contract total).
     for name in stats:

@@ -282,7 +282,7 @@ def _default_cf_supernet() -> bool:
 
 
 def supernet_forward(params, stats, left, right, fea_ops, mat_ops,
-                     train: bool, cf_matching=None):
+                     train: bool, cf_matching=None, maxdisp: int = MAXDISP):
     """Full search-supernet pipeline. fea_ops/mat_ops: (9,) int arrays.
 
     Returns (disp (B,H,W), new_stats). On TPU the matching half runs in
@@ -296,14 +296,14 @@ def supernet_forward(params, stats, left, right, fea_ops, mat_ops,
     if cf_matching:
         from rag_tpu.ops.cost_volume import cost_volume_cf
 
-        cost = cost_volume_cf(x, y, MAXDISP // 3)     # (B, D, 2C, h, w)
+        cost = cost_volume_cf(x, y, maxdisp // 3)     # (B, D, 2C, h, w)
         mat = _mat_forward(params, stats, cost, mat_ops, train, new_stats,
                            cf=True)                   # (B, D, 1, h, w)
         mat = jnp.moveaxis(mat, 2, -1)                # (B, D, h, w, 1)
     else:
-        cost = cost_volume(x, y, MAXDISP // 3)
+        cost = cost_volume(x, y, maxdisp // 3)
         mat = _mat_forward(params, stats, cost, mat_ops, train, new_stats)
-    return soft_argmin_disparity(mat, MAXDISP, 3), new_stats
+    return soft_argmin_disparity(mat, maxdisp, 3), new_stats
 
 
 # ---------------------------------------------------------------------------

@@ -12,10 +12,9 @@ Semantics (D = maxdisp // 3, NHWC features):
     cost[b, d, i, j, :C]   = x[b, i, j, :]      if j >= d else 0
     cost[b, d, i, j, C:2C] = y[b, i, j - d, :]  if j >= d else 0
 
-Output layout: (B, D, H, W, 2C) — NDHWC for the 3D matching net.
-
-A fused Pallas kernel lives in rag_tpu.ops.pallas_kernels; this jnp version
-is the semantic reference and the autodiff fallback.
+Output layout: (B, D, H, W, 2C) — NDHWC for the 3D matching net;
+cost_volume_cf emits the channel-first (B, D, 2C, h, w) layout the Pallas
+matching path consumes.
 """
 
 from __future__ import annotations

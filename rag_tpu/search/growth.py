@@ -13,6 +13,16 @@ pairwise rule using the reusability reward
 
 with the reuse head-start  h_e[site][0:-1] = o_size  (:262-266).
 
+Reference-semantics notes (restored in round 2):
+  * ONE optimizer persists over the new-unit params for the whole search
+    (rag.py:247): the SGD momentum buffers of the new units and task heads
+    carry across epochs here (a buffer is untouched in epochs where its
+    site sampled a reuse candidate — exactly torch's skip-if-no-grad).
+  * The best-by-valid-loss model is snapshotted per epoch and RESTORED
+    into the registry after the search (rag.py:336-338); since reused
+    units and all BN stats are frozen, snapshotting the new units + task
+    heads is equivalent to the reference's full-model deepcopy.
+
 Every sampled path is its own static architecture; paths re-use the jit
 cache keyed by the path's spec signature, so across an o_epochs=100 run only
 the distinct genotype-combinations present actually compile (sites share
@@ -22,7 +32,8 @@ specs between candidates of the same genotype).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+import os
+from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np
@@ -51,23 +62,24 @@ class OpSearchConfig:
     grad_clip: float = 5.0
     o_size: int = 10
     seed: int = 0
+    maxdisp: int = 192
     # truncate architecture scoring to this many batches (the src_self
     # variant's active `if step > 10: break` proxy validation,
     # src_self/approaches/rag.py:529-530); None = full split
     eval_max_batches: Optional[int] = None
 
 
-def _stereo_steps(specs, trainable, optimizer):
+def _stereo_steps(specs, trainable, optimizer, maxdisp):
     return (make_train_step(specs, frozenset(), optimizer,
-                            trainable_sites=trainable),
-            make_eval_step(specs))
+                            trainable_sites=trainable, maxdisp=maxdisp),
+            make_eval_step(specs, maxdisp=maxdisp))
 
 
 def _stereo_args(batch):
     return (batch["left"], batch["right"], batch["disparity"])
 
 
-def _depth_steps(specs, trainable, optimizer):
+def _depth_steps(specs, trainable, optimizer, maxdisp):
     from rag_tpu.train.trainer import make_depth_eval_step, make_depth_train_step
 
     return (make_depth_train_step(specs, frozenset(), optimizer,
@@ -83,6 +95,36 @@ VARIANTS = {
     "stereo": (_stereo_steps, _stereo_args),
     "depth": (_depth_steps, _depth_args),
 }
+
+
+def _find_trace(opt_state):
+    """Index of the TraceState inside the chained optax state."""
+    for i, s in enumerate(opt_state):
+        if hasattr(s, "trace"):
+            return i
+    raise ValueError("optimizer chain has no momentum (trace) state")
+
+
+def _inject_momentum(opt_state, store: Dict, names):
+    """Replace the zero-initialized momentum of every site in ``names`` that
+    has a stored buffer (same tensors across epochs — same treedef)."""
+    i = _find_trace(opt_state)
+    trace = dict(opt_state[i].trace)
+    for name in names:
+        if name in store:
+            trace[name] = store[name]
+    states = list(opt_state)
+    states[i] = states[i]._replace(trace=trace)
+    return tuple(states)
+
+
+def _extract_momentum(opt_state, names) -> Dict:
+    i = _find_trace(opt_state)
+    return {name: opt_state[i].trace[name] for name in names}
+
+
+def _tree_np(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
 
 
 class OpSearch:
@@ -103,16 +145,93 @@ class OpSearch:
         if key not in self._step_cache:
             optimizer = make_optimizer(self.cfg.weight_decay, self.cfg.grad_clip)
             # bn_sites=∅: ALL BatchNorms frozen during op search
-            train_step, eval_step = self._make_steps(specs, trainable, optimizer)
+            train_step, eval_step = self._make_steps(specs, trainable,
+                                                     optimizer,
+                                                     self.cfg.maxdisp)
             self._step_cache[key] = (train_step, eval_step, optimizer)
         return self._step_cache[key]
 
-    def search(self, t: int, train_data, writer=None):
+    # -- searchable-state capture (new units + task heads are the only
+    #    mutable tensors during op search) ---------------------------------
+
+    def _new_unit_refs(self, t: int):
+        refs = [(s, self.net.units[s][self.net.length(s) - 1])
+                for s in SITE_NAMES]
+        refs += [(h, self.net.heads[h][t]) for h in HEAD_NAMES]
+        return refs
+
+    def _snapshot(self, t: int) -> Dict:
+        return {name: (u.params, u.stats) for name, u in self._new_unit_refs(t)}
+
+    def _restore(self, t: int, snap: Dict):
+        for name, u in self._new_unit_refs(t):
+            u.params, u.stats = snap[name]
+
+    # -- mid-search checkpointing (SURVEY.md §5; cell search already has
+    #    this — op search is a 100-epoch stage that must survive a kill) ---
+
+    def save_state(self, path: str, t: int, epoch: int, h_e, h_a,
+                   momentum: Dict, best: Optional[Dict], best_loss: float):
+        from rag_tpu.continual.state import _flatten
+
+        arrays: Dict[str, np.ndarray] = {}
+        for name, u in self._new_unit_refs(t):
+            _flatten(_tree_np(u.params), f"live/{name}/params", arrays)
+            _flatten(_tree_np(u.stats), f"live/{name}/stats", arrays)
+        for name, m in momentum.items():
+            _flatten(_tree_np(m), f"mom/{name}", arrays)
+        if best is not None:
+            for name, (p, s) in best.items():
+                _flatten(_tree_np(p), f"best/{name}/params", arrays)
+                _flatten(_tree_np(s), f"best/{name}/stats", arrays)
+        for i, p in enumerate(self.net.p):
+            arrays[f"prob/{i}"] = np.asarray(p)
+            arrays[f"he/{i}"] = np.asarray(h_e[i])
+            arrays[f"ha/{i}"] = np.asarray(h_a[i])
+        np.savez(path, epoch=epoch, best_loss=best_loss,
+                 has_best=int(best is not None), **arrays)
+
+    def load_state(self, path: str, t: int):
+        """Restores registry tensors, p, momentum; returns
+        (start_epoch, h_e, h_a, momentum, best, best_loss)."""
+        from rag_tpu.continual.state import _unflatten
+
+        import jax.numpy as jnp
+
+        data = dict(np.load(path))
+        to_jax = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+        for name, u in self._new_unit_refs(t):
+            u.params = to_jax(_unflatten(data, f"live/{name}/params"))
+            u.stats = to_jax(_unflatten(data, f"live/{name}/stats"))
+        momentum = {}
+        for name, _ in self._new_unit_refs(t):
+            m = _unflatten(data, f"mom/{name}")
+            if m:
+                momentum[name] = to_jax(m)
+        best = None
+        if int(data["has_best"]):
+            best = {}
+            for name, _ in self._new_unit_refs(t):
+                best[name] = (to_jax(_unflatten(data, f"best/{name}/params")),
+                              to_jax(_unflatten(data, f"best/{name}/stats")))
+        n = len(self.net.p)
+        for i in range(n):
+            self.net.p[i] = data[f"prob/{i}"]
+        h_e = [data[f"he/{i}"] for i in range(n)]
+        h_a = [data[f"ha/{i}"] for i in range(n)]
+        return (int(data["epoch"]) + 1, h_e, h_a, momentum, best,
+                float(data["best_loss"]))
+
+    def search(self, t: int, train_data, writer=None,
+               checkpoint_path: Optional[str] = None,
+               checkpoint_every: int = 10, resume: bool = False,
+               stop_after: Optional[int] = None):
         """Mutates net.p in place; caller then runs net.select(t)."""
         net, cfg = self.net, self.cfg
         assert net.p is not None and net.new_models is not None
         rng = np.random.default_rng(cfg.seed + 9999 * t)
-        train_idx, valid_idx = split_half(len(train_data))
+        train_idx, valid_idx = split_half(len(train_data),
+                                          seed=cfg.seed + 9999 * t)
 
         # h_e with the o_size reuse head-start; h_a zero.
         h_e = [np.zeros(len(p), np.int64) for p in net.p]
@@ -120,14 +239,20 @@ class OpSearch:
         for he in h_e:
             he[:-1] = cfg.o_size
 
+        momentum: Dict = {}      # persistent SGD momentum (rag.py:247)
+        best: Optional[Dict] = None
         best_loss = np.inf
-        # momentum state persists across epochs per-path; for simplicity and
-        # because each epoch retrains a different path, we reinit opt state
-        # each epoch over the new units only (the reference keeps one
-        # optimizer over new-unit params; its momentum buffers are per-param
-        # and most parameters recur across epochs — the practical difference
-        # is a cold momentum start per epoch, documented deviation).
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            (start_epoch, h_e, h_a, momentum, best, best_loss) = \
+                self.load_state(checkpoint_path, t)
+            self.log(f"[op-search t{t}] resumed at epoch {start_epoch}")
+            # rng must replay to the same stream position
+            for _ in range(start_epoch):
+                for p in net.p:
+                    rng.choice(len(p), p=np.full(len(p), 1.0 / len(p)))
+
+        for epoch in range(start_epoch, cfg.epochs):
             lr = cosine_lr(cfg.lr, cfg.epochs, epoch, cfg.lr_min)
             selected = [int(rng.choice(len(p), p=p)) for p in net.p]
             arch = net.search_arch(selected, t)
@@ -144,6 +269,7 @@ class OpSearch:
             train_step, eval_step, optimizer = self._steps_for(arch, trainable)
             specs, params, stats = self.net.path(arch)
             opt_state = optimizer.init(params)
+            opt_state = _inject_momentum(opt_state, momentum, trainable)
 
             train_m = AverageMeterDict()
             for b in train_data.batches(cfg.batch, True, seed=epoch,
@@ -151,6 +277,7 @@ class OpSearch:
                 params, stats, opt_state, scalars = train_step(
                     params, stats, opt_state, lr, *self._batch_args(b))
                 train_m.update({k: float(v) for k, v in scalars.items()})
+            momentum.update(_extract_momentum(opt_state, trainable))
 
             valid_m = AverageMeterDict()
             for step_i, b in enumerate(train_data.batches(
@@ -189,5 +316,20 @@ class OpSearch:
             for i in range(len(net.p)):
                 net.p[i] = mdenas_update(net.p[i], h_e[i], h_a[i], cfg.lr_a)
 
+            # best-by-valid snapshot of the mutable tensors (rag.py:336-338)
             if valid_loss < best_loss:
                 best_loss = valid_loss
+                best = self._snapshot(t)
+
+            if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+                self.save_state(checkpoint_path, t, epoch, h_e, h_a,
+                                momentum, best, best_loss)
+            if stop_after is not None and epoch + 1 >= stop_after:
+                # fault injection for resume tests: simulate a kill AFTER
+                # the checkpoint write (no best-restore happens)
+                return
+
+        # restore the best-by-valid model into the registry (the reference
+        # re-loads the deepcopied best state after the search loop)
+        if best is not None:
+            self._restore(t, best)

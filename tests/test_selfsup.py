@@ -26,7 +26,7 @@ class TestColorTransfer:
         proxy = SyntheticStereoDataset(8, 16, 32, seed=0)
         real = np.clip(np.random.default_rng(1).normal(0.5, 0.2, (4, 16, 32, 3)),
                        0, 1).astype(np.float32)
-        ds = ColorTransferDataset(proxy, real)
+        ds = ColorTransferDataset(proxy, real, normalized=False)
         b = next(ds.batches(4, True, seed=0))
         assert b["left"].shape == (4, 16, 32, 3)
         assert b["left"].min() >= 0 and b["left"].max() <= 1
