@@ -11,9 +11,13 @@ Design (shaped by Mosaic layout rules found the hard way):
     input three times with d, d+1, d+2 blocked index maps — no manual DMA.
   * H-halo by host padding rows; W-halo by in-kernel lane rolls with edge
     masking (SAME zero padding).
-  * im2col patches (27*C, Hc*W) built with static sublane writes; one MXU
-    matmul (Cout, 27C) x (27C, Hc*W) per H-chunk, K=324 instead of 12;
-    fused BN affine + ReLU.
+  * ROLL-FREE im2col: patches hold only the 9 (dd, dh) row-slice groups
+    (9*C, Hc*W) — no per-tap W shifts of input-sized data. The dw taps
+    become 3 MXU matmuls (Cout, 9C) x (9C, Hc*W) whose small OUTPUTS are
+    lane-shifted and accumulated (round 2: 3x less VMEM patch traffic and
+    9x less roll traffic than the 27-tap/single-matmul formulation, which
+    was shuffle-bound at ~1% MFU);
+  * fused BN affine + ReLU.
 
 Exposed as ``conv3d_brc`` (channels-last API, transposing at the
 boundary) with a custom VJP whose backward is the exact XLA transpose
@@ -66,6 +70,13 @@ def _wk_of(w: int) -> int:
     return -(-w // 128) * 128 if w > 8 else w
 
 
+def _cpad_of(cout: int) -> int:
+    """Sublane-aligned rows per dw weight block: slicing the stacked
+    matmul result at non-multiple-of-8 offsets forces Mosaic relayouts
+    (measured 100x slower), so each block is zero-padded to 8 rows."""
+    return -(-cout // 8) * 8
+
+
 def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
                    out_ref, patches, *, h: int, w: int, cin: int,
                    cout: int, relu: bool):
@@ -76,8 +87,8 @@ def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
 
     def chunk_body(c, _):
         h0 = pl.multiple_of(c * hc, 8)
-        # one aligned (cin, win, w) window load per D-slab; the dh/dw tap
-        # shifts are static slices/rolls of the loaded VALUE
+        # one aligned (cin, win, w) window load per D-slab; the 9 (dd, dh)
+        # groups are roll-free sublane slices of the loaded VALUE
         bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
         if wk != w:
             bases = [jnp.pad(b_, ((0, 0), (0, 0), (0, wk - w)))
@@ -86,19 +97,25 @@ def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
         for dd in range(3):
             for dh in range(3):
                 rows = bases[dd][:, dh:dh + hc, :]       # (cin, hc, wk)
-                for dw in range(3):
-                    view = _shift_w(rows, dw, w)
-                    patches[t * cin:(t + 1) * cin, :] = view.reshape(
-                        cin, hc * wk)
-                    t += 1
-        y = jax.lax.dot_general(                     # (cout, hc*wk)
+                patches[t * cin:(t + 1) * cin, :] = rows.reshape(cin, hc * wk)
+                t += 1
+        # ONE matmul for all 3 dw taps (M=3*cpad amortizes the MXU
+        # pipeline fill that dominates at cout<=48), then aligned slices +
+        # lane-shift + accumulate of the small outputs
+        cpad = _cpad_of(cout)
+        z = jax.lax.dot_general(                     # (3*cpad, hc*wk)
             wk_ref[:], patches[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        y = y * scale_ref[:, 0:1] + bias_ref[:, 0:1]
+        y3 = None
+        for dw in range(3):
+            z3 = _shift_w(
+                z[dw * cpad:dw * cpad + cpad].reshape(cpad, hc, wk), dw, w)
+            y3 = z3 if y3 is None else y3 + z3
+        y3 = y3 * scale_ref[:, 0][:, None, None] \
+            + bias_ref[:, 0][:, None, None]
         if relu:
-            y = jnp.maximum(y, 0.0)
-        y = y.reshape(cout, hc, wk)
-        out_ref[0, 0, :, pl.ds(h0, hc), :] = y[:, :, :w]
+            y3 = jnp.maximum(y3, 0.0)
+        out_ref[0, 0, :, pl.ds(h0, hc), :] = y3[:cout, :, :w]
         return 0
 
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
@@ -108,8 +125,8 @@ def _conv3d_kernel_v3(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
                       slabs, patches, sems, *, hb: int, w: int, cin: int,
                       cout: int, relu: bool):
     """Large-shape variant: H-tiled grid, manual aligned haloed DMAs (one
-    per D-offset), tap-GROUP accumulation (9 taps per matmul) to bound the
-    patches scratch."""
+    per D-offset), roll-free (dd, dh) patch groups + per-dw matmuls with
+    output shifts (same scheme as the blocked-slab kernel)."""
     b = pl.program_id(0)
     d = pl.program_id(1)
     ih = pl.program_id(2)
@@ -126,34 +143,37 @@ def _conv3d_kernel_v3(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
             x_hbm.at[b, d + dd, :, pl.ds(ih * hb, win), :],
             slabs.at[dd], sems.at[dd]).wait()
 
-    y = jnp.zeros((cout, hb * wk), jnp.float32)
+    t = 0
     for dd in range(3):
         base = slabs[dd]                               # (cin, win, wk)
-        t = 0
         for dh in range(3):
             rows = base[:, dh:dh + hb, :]              # (cin, hb, wk)
-            for dw in range(3):
-                view = _shift_w(rows, dw, w)
-                patches[t * cin:(t + 1) * cin, :] = view.reshape(
-                    cin, hb * wk)
-                t += 1
-        y = y + jax.lax.dot_general(                   # (cout, hb*wk)
-            wk_ref[:, dd * 9 * cin:(dd + 1) * 9 * cin], patches[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            patches[t * cin:(t + 1) * cin, :] = rows.reshape(cin, hb * wk)
+            t += 1
+    cpad = _cpad_of(cout)
+    z = jax.lax.dot_general(                           # (3*cpad, hb*wk)
+        wk_ref[:], patches[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y3 = None
+    for dw in range(3):
+        z3 = _shift_w(
+            z[dw * cpad:dw * cpad + cpad].reshape(cpad, hb, wk), dw, w)
+        y3 = z3 if y3 is None else y3 + z3
 
-    y = y * scale_ref[:, 0:1] + bias_ref[:, 0:1]
+    y3 = y3 * scale_ref[:, 0][:, None, None] + bias_ref[:, 0][:, None, None]
     if relu:
-        y = jnp.maximum(y, 0.0)
-    y = y.reshape(cout, hb, wk)
-    out_ref[0, 0] = y[:, :, :w]
+        y3 = jnp.maximum(y3, 0.0)
+    out_ref[0, 0] = y3[:cout, :, :w]
 
 
 def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
     """Channel-first core. x_cf: (B, D, C, H, W); wk: (Cout, 27*Cin)
     tap-major; returns (B, D, Cout, H, W)."""
     bsz, d, cin, h, w = x_cf.shape
-    cout = wk.shape[0]
+    cout = scale.shape[0]
+    cpad = _cpad_of(cout)
+    scale = jnp.pad(scale, (0, cpad - cout))
+    bias = jnp.pad(bias, (0, cpad - cout))
     hc = HC if h % HC == 0 and h > HC else h
     win = _win(hc)
     h_pad = (h - hc) + win  # >= h + 2
@@ -164,7 +184,7 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
     # variant when it exceeds the budget (large shapes, e.g. eval)
     import os
 
-    v2_bytes = (3 * 2 * cin * (h_pad + 2) * w + 27 * cin * hc * wkl
+    v2_bytes = (3 * 2 * cin * (h_pad + 2) * w + 9 * cin * hc * wkl
                 + 2 * cout * h * w) * 4
     force_v3 = os.environ.get("RAG_TPU_CONV3D_V3") == "1"
     if v2_bytes <= 12 * 1024 * 1024 and h % 8 == 0 and not force_v3:
@@ -190,7 +210,7 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
                 memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((27 * cin, hc * wkl), jnp.float32),
+                pltpu.VMEM((9 * cin, hc * wkl), jnp.float32),
             ],
             interpret=interpret,
         )(xp, xp, xp, wk, scale.reshape(-1, 1), bias.reshape(-1, 1))
@@ -228,10 +248,16 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
 
 
 def pack_weights(w):
-    """(3,3,3,Cin,Cout) -> (Cout, 27*Cin) in the kernel's tap-major order."""
+    """(3,3,3,Cin,Cout) -> (3*cpad, 9*Cin): rows dw-major in 8-aligned
+    blocks of cpad rows (zero rows pad each Cout block so the stacked
+    matmul result slices at aligned sublane offsets), cols (dd,dh)-major
+    matching the roll-free patches."""
     kd, kh, kw, cin, cout = w.shape
     assert (kd, kh, kw) == (3, 3, 3)
-    return w.reshape(27 * cin, cout).T
+    cpad = _cpad_of(cout)
+    w2 = jnp.transpose(w, (2, 4, 0, 1, 3))  # (dw, cout, dd, dh, cin)
+    w2 = jnp.pad(w2, ((0, 0), (0, cpad - cout), (0, 0), (0, 0), (0, 0)))
+    return w2.reshape(3 * cpad, 9 * cin)
 
 
 def _xla_conv3d(x, w):
@@ -292,8 +318,9 @@ conv3d_brc.defvjp(_fwd, _bwd)
 
 def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
                       *, h: int, w: int, cin: int, cout: int):
-    """dw[(tap,ci), co] += patches @ dz^T, accumulated across the whole
-    (B, D) grid into the single revisited output block."""
+    """dw[dw_tap, (dd,dh,ci), co] += patches @ shift_inv(dz)^T, accumulated
+    across the whole (B, D) grid into the single revisited output block.
+    Roll-free patches; the inverse dw shift lands on the small dz."""
     b = pl.program_id(0)
     d = pl.program_id(1)
 
@@ -316,18 +343,19 @@ def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
         for dd in range(3):
             for dh in range(3):
                 rows = bases[dd][:, dh:dh + hc, :]
-                for dw_ in range(3):
-                    view = _shift_w(rows, dw_, w)
-                    patches[t * cin:(t + 1) * cin, :] = view.reshape(
-                        cin, hc * wk)
-                    t += 1
+                patches[t * cin:(t + 1) * cin, :] = rows.reshape(cin, hc * wk)
+                t += 1
         dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
         if wk != w:
             dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
-        dzc = dzc.reshape(cout, hc * wk)
-        out_ref[...] += jax.lax.dot_general(
-            patches[:], dzc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for dw_ in range(3):
+            # dL/dW[dw] pairs x[i] with dz[i - (dw-1)] — the inverse
+            # shift lands on the small dz (M=9cin already amortizes the
+            # MXU fill here, so no stacking needed)
+            dzs = _shift_w(dzc, 2 - dw_, w).reshape(cout, hc * wk)
+            out_ref[dw_] += jax.lax.dot_general(
+                patches[:], dzs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
@@ -359,15 +387,16 @@ def conv3d_dw_pallas(x_cf, dz_cf, interpret: bool = False):
             pl.BlockSpec((1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((27 * cin, cout), lambda b, dd: (0, 0),
+        out_specs=pl.BlockSpec((3, 9 * cin, cout), lambda b, dd: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, 9 * cin, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((27 * cin, hc * _wk_of(w)), jnp.float32),
+            pltpu.VMEM((9 * cin, hc * _wk_of(w)), jnp.float32),
         ],
         interpret=interpret,
     )(xp, xp, xp, dz_cf)
-    return dw.reshape(3, 3, 3, cin, cout)
+    # [dw, (dd, dh, ci), co] -> (dd, dh, dw, ci, co)
+    return dw.reshape(3, 3, 3, cin, cout).transpose(1, 2, 0, 3, 4)
 
 
 # -- channel-first entry (B, D, C, H, W), used by the native-cf matching
