@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run on synthetic stereograms (no real data needed)")
     p.add_argument("--synthetic-size", type=int, default=64)
     p.add_argument("--synthetic-hw", type=int, nargs=2, default=[96, 192])
+    p.add_argument("--synthetic-eval-hw", type=int, nargs=2, default=None,
+                   help="test-set geometry (e.g. 480 960 for the canonical "
+                        "eval protocol); defaults to --synthetic-hw")
+    p.add_argument("--synthetic-eval-size", type=int, default=None,
+                   help="test pairs per scene (default: --synthetic-size)")
 
     # cell search stage (c_*)
     p.add_argument("--c_epochs", type=int, default=100)
@@ -134,11 +139,17 @@ def make_datasets(args):
         from rag_tpu.data.synthetic import SyntheticStereoDataset
 
         h, w = args.synthetic_hw
+        eh, ew = args.synthetic_eval_hw or (h, w)
         n = args.synthetic_size
-        mk = lambda s: SyntheticStereoDataset(n, h, w, seed=s)
-        train = [mk(10 + t) for t in range(args.num_tasks)]
-        valid = [mk(20 + t) for t in range(args.num_tasks)]
-        test = [mk(30 + t) for t in range(args.num_tasks)]
+        en = args.synthetic_eval_size or n
+        # per-scene disparity statistics (the 4 weather scenes differ in
+        # depth distribution; synthetic scenes differ in disparity range)
+        md = lambda t: min(28.0 + 28.0 * t, args.maxdisp * 0.7)
+        mk = lambda s, t, hh, ww, nn: SyntheticStereoDataset(
+            nn, hh, ww, seed=s, max_disp=md(t))
+        train = [mk(10 + t, t, h, w, n) for t in range(args.num_tasks)]
+        valid = [mk(20 + t, t, h, w, n) for t in range(args.num_tasks)]
+        test = [mk(30 + t, t, eh, ew, en) for t in range(args.num_tasks)]
         return train, valid, test
 
     from rag_tpu.data.stereo_dataset import StereoDataset

@@ -338,6 +338,9 @@ class ContinualDriver:
                 self.writer.scalars("test", {f"task{u}_{k}": v
                                              for k, v in scalars.items()},
                                     step=t)
+            size_m = self.net.size_m()
+            self.log(f">>> model size after task {t}: {size_m:.4f} M params")
+            self.writer.scalars("model", {"size_m": size_m}, step=t)
             if self.cfg.use_router:
                 self.train_router(t, train_datasets, test_datasets)
             if self.checkpoint_dir:

@@ -22,12 +22,20 @@ def synthetic_stereo_batch(rng: np.random.Generator, batch: int, h: int, w: int,
     [4, max_disp]; right[x] = left[x - (-d)]... i.e. right view shifts
     content LEFT by d so that left[j] == right[j - d].
     """
-    # random texture with some low-frequency structure
+    # random texture with some low-frequency structure (vectorized "same"
+    # box filter via cumsum — apply_along_axis/convolve was minutes-slow at
+    # the 480x960 eval geometry)
     tex = rng.standard_normal((batch, h, w, 3)).astype(np.float32)
     k = 7
-    kernel = np.ones(k, np.float32) / k
     for ax in (1, 2):
-        tex = np.apply_along_axis(lambda m: np.convolve(m, kernel, "same"), ax, tex)
+        lo, hi = k // 2, k - k // 2
+        pad = [(0, 0)] * 4
+        pad[ax] = (lo + 1, hi)
+        n = tex.shape[ax]
+        c = np.cumsum(np.pad(tex, pad), axis=ax, dtype=np.float32)
+        top = c.take(range(k, k + n), axis=ax)
+        bot = c.take(range(0, n), axis=ax)
+        tex = (top - bot) / k
     tex /= tex.std() + 1e-6
 
     # blocky disparity field (piecewise constant tiles)

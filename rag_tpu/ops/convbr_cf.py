@@ -45,6 +45,12 @@ def batch_norm_cf(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
 
 def _conv_cf(x, w, spec: ConvBRSpec):
     """Plain XLA conv in NCDHW terms (x: (B, D, C, H, W))."""
+    if spec.kernel == 1 and spec.stride == 1:
+        # 1x1x1 conv = channel contraction; dot_general directly in the cf
+        # layout skips the two full-volume layout transposes below (the
+        # pre/prep/head 1x1s run once per cell on the big matching volume)
+        return jnp.einsum("oi,bdihw->bdohw", w[0, 0, 0].T, x,
+                          preferred_element_type=jnp.float32)
     # lax expects (N, C, spatial...): permute D into the spatial block
     xt = jnp.transpose(x, (0, 2, 1, 3, 4))  # (B, C, D, H, W)
     wt = jnp.transpose(w, (4, 3, 0, 1, 2))  # (O, I, kd, kh, kw)

@@ -348,14 +348,17 @@ def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
         dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
         if wk != w:
             dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
-        for dw_ in range(3):
-            # dL/dW[dw] pairs x[i] with dz[i - (dw-1)] — the inverse
-            # shift lands on the small dz (M=9cin already amortizes the
-            # MXU fill here, so no stacking needed)
-            dzs = _shift_w(dzc, 2 - dw_, w).reshape(cout, hc * wk)
-            out_ref[dw_] += jax.lax.dot_general(
-                patches[:], dzs, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        # dL/dW[dw] pairs x[i] with dz[i - (dw-1)]: stack the 3
+        # inverse-shifted dz copies along N so the contraction runs as ONE
+        # matmul (N=3*cout instead of 3 matmuls at N=cout, which left 90%
+        # of the MXU columns idle at cout<=48); the (9cin, 3cout) output
+        # block accumulates whole — no in-kernel slicing
+        dzs = jnp.concatenate(
+            [_shift_w(dzc, 2 - dw_, w).reshape(cout, hc * wk)
+             for dw_ in range(3)], axis=0)
+        out_ref[...] += jax.lax.dot_general(
+            patches[:], dzs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
@@ -387,16 +390,16 @@ def conv3d_dw_pallas(x_cf, dz_cf, interpret: bool = False):
             pl.BlockSpec((1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, 9 * cin, cout), lambda b, dd: (0, 0, 0),
+        out_specs=pl.BlockSpec((9 * cin, 3 * cout), lambda b, dd: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, 9 * cin, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((9 * cin, hc * _wk_of(w)), jnp.float32),
         ],
         interpret=interpret,
     )(xp, xp, xp, dz_cf)
-    # [dw, (dd, dh, ci), co] -> (dd, dh, dw, ci, co)
-    return dw.reshape(3, 3, 3, cin, cout).transpose(1, 2, 0, 3, 4)
+    # [(dd, dh, ci), (dw, co)] -> (dd, dh, dw, ci, co)
+    return dw.reshape(3, 3, cin, 3, cout).transpose(0, 1, 3, 2, 4)
 
 
 # -- channel-first entry (B, D, C, H, W), used by the native-cf matching

