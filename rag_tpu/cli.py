@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train-router", action="store_true",
                    help="train the Scene Router after the last task")
 
+    # parallel search
+    p.add_argument("--scene-parallel-search", action="store_true",
+                   help="run all scenes' independent cell searches at once "
+                        "over a 'scene' device mesh axis (needs >= "
+                        "num-tasks devices; falls back to sequential)")
+
     # checkpointing
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--resume", action="store_true")
@@ -195,6 +201,7 @@ def main(argv=None):
         skip_cell_search=args.skip_cell_search,
         maxdisp=args.maxdisp,
         use_router=args.train_router,
+        scene_parallel_search=args.scene_parallel_search,
     )
 
     if args.variant == "depth":

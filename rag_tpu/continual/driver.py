@@ -60,6 +60,11 @@ class ExperimentConfig:
     use_router: bool = False
     router_epochs: int = 3
     router_batch: int = 8
+    # run every scene's (independent, fresh-supernet) cell search at once
+    # over a 'scene' device mesh axis before the sequential grow/select/
+    # fine-tune loop — a capability the reference's sequential loop can't
+    # express (rag_tpu.search.scene_parallel); needs >= num_tasks devices
+    scene_parallel_search: bool = False
 
 
 def _save_finetune_state(path, params, stats, opt_state, best, best_loss,
@@ -119,9 +124,49 @@ class ContinualDriver:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         return os.path.join(self.checkpoint_dir, name)
 
+    def parallel_cell_search(self, train_datasets: Sequence) -> None:
+        """Stage-1 hoist: all scenes' cell searches in one wall-clock pass
+        over a 'scene' mesh axis. Results land in the same per-task
+        genotype artifacts search_cell consumes, so the sequential loop
+        (and resume) picks them up transparently."""
+        from rag_tpu.search.scene_parallel import SceneParallelCellSearch
+
+        n = self.cfg.num_tasks
+        todo = [t for t in range(n) if not self._have_genotype(t)]
+        if not todo or self.cfg.skip_cell_search:
+            return
+        if len(jax.devices()) < n:
+            self.log(f"[scene-par] only {len(jax.devices())} devices for "
+                     f"{n} scenes; falling back to sequential searches")
+            return
+        sp = SceneParallelCellSearch(
+            dataclasses.replace(self.cfg.cell, maxdisp=self.cfg.maxdisp),
+            num_scenes=n, log=self.log,
+            scene_seeds=[self.cfg.cell.seed + t for t in range(n)])
+        genos = sp.search(list(train_datasets[:n]))
+        self._pre_genotypes = dict(enumerate(genos))
+        for t, geno in enumerate(genos):
+            geno_file = self._stage_ckpt(f"genotype_t{t}.json")
+            if geno_file:
+                from rag_tpu.continual.state import _geno_json
+                import json
+
+                with open(geno_file, "w") as f:
+                    json.dump(_geno_json(geno), f)
+
+    def _have_genotype(self, t: int) -> bool:
+        if getattr(self, "_pre_genotypes", {}).get(t) is not None:
+            return True
+        geno_file = self._stage_ckpt(f"genotype_t{t}.json")
+        return bool(geno_file and os.path.exists(geno_file))
+
     def search_cell(self, t: int, train_data) -> Genotype:
         if self.cfg.skip_cell_search:
             return default_genotype()
+        pre = getattr(self, "_pre_genotypes", {}).get(t)
+        if pre is not None:
+            self.log(f"[task {t}] using scene-parallel searched genotype")
+            return pre
         # stage-result artifact: a completed cell search never re-runs on
         # resume (its mid-stage ckpt is consumed below)
         geno_file = self._stage_ckpt(f"genotype_t{t}.json")
@@ -326,6 +371,8 @@ class ContinualDriver:
             test_datasets: Sequence, resume: bool = False) -> ForgettingMatrix:
         tstart = time.time()
         start = self.resume() if resume else 0
+        if self.cfg.scene_parallel_search:
+            self.parallel_cell_search(train_datasets)
         for t in range(start, self.cfg.num_tasks):
             self.log("*" * 60 + f"\nTask {t}\n" + "*" * 60)
             self.train_task(t, train_datasets[t], valid_datasets[t])

@@ -159,15 +159,55 @@ def extract_feature(specs, params, stats, image, train_sites, new_stats):
     return _apply(specs, params, stats, "last_3_2d", s_p, train_sites, new_stats)
 
 
-def run_matching_cf(specs, params, stats, cost, train_sites, new_stats):
+def _fused_stem_ok(spec) -> bool:
+    # Default OFF: the shear-collapsed jnp fused stem is exact (tests/
+    # test_fused_stem.py) and skips materializing the volume, but its five
+    # volume-sized gathers measured SLOWER than the materialized volume +
+    # Pallas conv at the train geometry (25.1 vs 22.4 ms fwd) and neutral
+    # at eval (47.6 vs 48.4 ms) on v5e — see BASELINE.md. Kept as the
+    # exactness foundation for a Pallas shear kernel (in-VMEM lane rolls
+    # replace the gathers).
+    import os
+
+    return (os.environ.get("RAG_TPU_FUSED_STEM", "0") == "1"
+            and not isinstance(spec, CellSpec) and spec.kernel == 3
+            and spec.stride == 1 and spec.bn and spec.relu)
+
+
+def _cvstem_wiring_ok(x_nhwc, spec) -> bool:
+    # Take the fused cost-volume+stem branch only when its kernel would
+    # actually engage at this shape; otherwise fall through to the
+    # materialized volume + the Pallas conv3d path (which has its own
+    # large-shape variants) — cvstem's internal fallback is a pure-XLA
+    # composition that would bypass those kernels (measured slower at the
+    # 480x960 eval geometry). Off-TPU the XLA composition IS the conv
+    # path, so shape alone decides and CPU tests exercise this wiring.
+    import os
+
+    if os.environ.get("RAG_TPU_CVSTEM", "1") != "1":
+        return False
+    from rag_tpu.ops.pallas_cvstem import cvstem_vmem_ok
+
+    b, h, w, c = x_nhwc.shape
+    return cvstem_vmem_ok(b, c, h, w, spec.cout)
+
+
+def run_matching_cf(specs, params, stats, cost, train_sites, new_stats,
+                    fused_stem_inputs=None):
     """Channel-first matching path: cost (B, D, 2C, h, w) -> (B, D, h, w).
 
     Same math as run_matching in the TPU-native (B,D,C,H,W) layout: the
     Pallas conv3d kernel runs without per-call transposes, and the
     1-channel output drops straight into the disparity head.
+
+    fused_stem_inputs: optional (x, y, num_disp) NHWC feature maps; when
+    given, cost may be None — either the shear-collapsed fused stem
+    (rag_tpu.ops.fused_stem, RAG_TPU_FUSED_STEM=1) computes stem0's
+    output without materializing the volume, or the volume is built here
+    in the cf layout.
     """
     from rag_tpu.ops.cell import apply_cell_cf
-    from rag_tpu.ops.convbr_cf import apply_convbr_cf
+    from rag_tpu.ops.convbr_cf import apply_convbr_cf, batch_norm_cf
 
     def appl(name, x, *extra):
         spec = specs[name]
@@ -180,14 +220,59 @@ def run_matching_cf(specs, params, stats, cost, train_sites, new_stats):
         new_stats[name] = st
         return out
 
-    stem0 = appl("stem_3d0", cost)
+    spec0 = specs["stem_3d0"]
+    std_stem = (not isinstance(spec0, CellSpec) and spec0.kernel == 3
+                and spec0.stride == 1 and spec0.bn and spec0.relu)
+    if fused_stem_inputs is not None and _fused_stem_ok(spec0):
+        from rag_tpu.ops.fused_stem import cost_stem_z
+
+        x, y, nd = fused_stem_inputs
+        x_cf = jnp.transpose(x, (0, 3, 1, 2))
+        y_cf = jnp.transpose(y, (0, 3, 1, 2))
+        z = cost_stem_z(x_cf, y_cf, params["stem_3d0"]["w"], nd)
+        stem0, st = batch_norm_cf(z, params["stem_3d0"], stats["stem_3d0"],
+                                  "stem_3d0" in train_sites)
+        stem0 = jax.nn.relu(stem0)
+        new_stats["stem_3d0"] = st
+    elif (fused_stem_inputs is not None and std_stem
+          and _cvstem_wiring_ok(fused_stem_inputs[0], spec0)):
+        # Pallas fused cost-volume+stem (SURVEY hard-part #1): the volume
+        # is built tile-by-tile in VMEM from the two feature maps (X
+        # stays, Y dynamic-lane-rolls by d) and never touches HBM; the
+        # backward kernels keep its adjoint off HBM too
+        from rag_tpu.ops.convbr import BN_EPS
+        from rag_tpu.ops.pallas_cvstem import cvstem_brc, cvstem_conv
+
+        x, y, nd = fused_stem_inputs
+        x_cf = jnp.transpose(x, (0, 3, 1, 2))
+        y_cf = jnp.transpose(y, (0, 3, 1, 2))
+        p0, st0 = params["stem_3d0"], stats["stem_3d0"]
+        if "stem_3d0" not in train_sites:
+            # frozen stats fold into the kernel's affine (one fused pass)
+            inv = jax.lax.rsqrt(st0["var"] + BN_EPS)
+            a = p0["scale"] * inv
+            b = p0["bias"] - st0["mean"] * a
+            stem0 = cvstem_brc(x_cf, y_cf, p0["w"], a, b, nd, relu=True)
+            new_stats["stem_3d0"] = st0
+        else:
+            z = cvstem_conv(x_cf, y_cf, p0["w"], nd)
+            stem0, st = batch_norm_cf(z, p0, st0, True)
+            stem0 = jax.nn.relu(stem0)
+            new_stats["stem_3d0"] = st
+    else:
+        if cost is None:
+            from rag_tpu.ops.cost_volume import cost_volume_cf
+
+            x, y, nd = fused_stem_inputs
+            cost = cost_volume_cf(x, y, nd)
+        stem0 = appl("stem_3d0", cost)
     stem1 = appl("stem_3d1", stem0)
     s_pp, s_p = stem0, stem1
     for i in range(8):
         out = appl(f"cell_3d{i}", s_p, s_pp)
         s_pp, s_p = s_p, out
 
-    d, h, w = cost.shape[1], cost.shape[3], cost.shape[4]
+    d, h, w = stem0.shape[1], stem0.shape[3], stem0.shape[4]
     x = appl("last_12_3d", s_p)
     x = resize_linear(x, (d // 2, h // 2, w // 2), (1, 3, 4),
                       align_corners=True)
@@ -265,9 +350,12 @@ def stereo_forward(
         fused_head = False  # safe default: callers that never differentiate
         # (eval/serving steps) pass fused_head=True explicitly
     if cf_matching:
-        cost_cf = cost_volume_cf(x, y, maxdisp // 3)   # (B, D, 2C, h, w)
+        # the matching half consumes the features directly: the volume is
+        # built in the cf layout (or skipped entirely by the fused
+        # shear-collapsed stem when RAG_TPU_FUSED_STEM=1)
         mat_sq = run_matching_cf(specs, params, {**stats, **new_stats},
-                                 cost_cf, train_sites, new_stats)
+                                 None, train_sites, new_stats,
+                                 fused_stem_inputs=(x, y, maxdisp // 3))
         mat = mat_sq[..., None]
     else:
         cost = cost_volume(x, y, maxdisp // 3)

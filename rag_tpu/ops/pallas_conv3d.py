@@ -121,6 +121,55 @@ def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
 
 
+def _conv3d_kernel_v4(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
+                      slab, patches, sem, *, db: int, h: int, w: int,
+                      cin: int, cout: int, relu: bool):
+    """D-blocked variant: one manual DMA of a (db+2, cin, h_pad, wk) window
+    per grid step serves db output D-slices — input HBM traffic drops from
+    3x (the blocked-slab kernel re-fetches every D-slice for d-1, d, d+1)
+    to (db+2)/db."""
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    hc = HC if h % HC == 0 and h > HC else h
+    win = _win(hc)
+    wk = _wk_of(w)
+    cpad = _cpad_of(cout)
+    nchunks = h // hc
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(k * db, db + 2)], slab, sem)
+    copy.start()
+    copy.wait()
+
+    def body(idx, _):
+        di = idx // nchunks
+        c = idx % nchunks
+        h0 = pl.multiple_of(c * hc, 8)
+        bases = [slab[di + dd, :, pl.ds(h0, win), :] for dd in range(3)]
+        t = 0
+        for dd in range(3):
+            for dh in range(3):
+                rows = bases[dd][:, dh:dh + hc, :]       # (cin, hc, wk)
+                patches[t * cin:(t + 1) * cin, :] = rows.reshape(cin, hc * wk)
+                t += 1
+        z = jax.lax.dot_general(                         # (3*cpad, hc*wk)
+            wk_ref[:], patches[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y3 = None
+        for dw in range(3):
+            z3 = _shift_w(
+                z[dw * cpad:dw * cpad + cpad].reshape(cpad, hc, wk), dw, w)
+            y3 = z3 if y3 is None else y3 + z3
+        y3 = y3 * scale_ref[:, 0][:, None, None] \
+            + bias_ref[:, 0][:, None, None]
+        if relu:
+            y3 = jnp.maximum(y3, 0.0)
+        out_ref[0, di, :, pl.ds(h0, hc), :] = y3[:cout, :, :w]
+        return 0
+
+    jax.lax.fori_loop(0, db * nchunks, body, 0)
+
+
 def _conv3d_kernel_v3(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
                       slabs, patches, sems, *, hb: int, w: int, cin: int,
                       cout: int, relu: bool):
@@ -184,9 +233,49 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
     # variant when it exceeds the budget (large shapes, e.g. eval)
     import os
 
+    # v4 (D-blocked, manual DMA): one (db+2)-deep window per grid step
+    # serves db output D-slices — input traffic (db+2)/db instead of 3x.
+    # Default OFF: measured 23.2 vs 22.4 ms full fwd at the train geometry
+    # (v5e) — the extra VMEM slab shrinks the H chunking win, and at eval
+    # geometry the slab exceeds the VMEM budget so v4 never engages.
+    force_v3 = os.environ.get("RAG_TPU_CONV3D_V3") == "1"
+    if (os.environ.get("RAG_TPU_CONV3D_V4", "0") == "1" and h % 8 == 0
+            and not force_v3):
+        for db in (8, 4, 2):
+            v4_bytes = ((db + 2) * cin * h_pad * wkl
+                        + 9 * cin * hc * wkl
+                        + 2 * db * cout * h * w) * 4
+            if d % db == 0 and v4_bytes <= 12 * 1024 * 1024:
+                xp = jnp.pad(
+                    x_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1),
+                           (0, wkl - w)))
+                kernel = functools.partial(_conv3d_kernel_v4, db=db, h=h,
+                                           w=w, cin=cin, cout=cout,
+                                           relu=relu)
+                return pl.pallas_call(
+                    kernel,
+                    grid=(bsz, d // db),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.HBM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (1, db, cout, h, w), lambda b, k: (b, k, 0, 0, 0),
+                        memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w),
+                                                   jnp.float32),
+                    scratch_shapes=[
+                        pltpu.VMEM((db + 2, cin, h_pad, wkl), jnp.float32),
+                        pltpu.VMEM((9 * cin, hc * wkl), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                    ],
+                    interpret=interpret,
+                )(xp, wk, scale.reshape(-1, 1), bias.reshape(-1, 1))
+
     v2_bytes = (3 * 2 * cin * (h_pad + 2) * w + 9 * cin * hc * wkl
                 + 2 * cout * h * w) * 4
-    force_v3 = os.environ.get("RAG_TPU_CONV3D_V3") == "1"
     if v2_bytes <= 12 * 1024 * 1024 and h % 8 == 0 and not force_v3:
         xp = jnp.pad(x_cf,
                      ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))

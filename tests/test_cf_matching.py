@@ -1,8 +1,15 @@
-"""Channel-first matching path must numerically match channels-last."""
+"""Channel-first matching path must numerically match channels-last.
+
+Parametrized over the fused shear-collapsed stem (RAG_TPU_FUSED_STEM):
+default-off path must be tight; the fused path reassociates the stem sum
+and gets scale-aware tolerances (exactness is pinned at op level in
+test_fused_stem.py).
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rag_tpu.models.stereo import (
     build_head_specs,
@@ -20,7 +27,13 @@ def _path(key=0):
     return specs, params, stats
 
 
-def test_cf_matches_cl_eval():
+@pytest.fixture(params=["0", "1"], ids=["plain", "fused-stem"])
+def fused(request, monkeypatch):
+    monkeypatch.setenv("RAG_TPU_FUSED_STEM", request.param)
+    return request.param == "1"
+
+
+def test_cf_matches_cl_eval(fused):
     specs, params, stats = _path()
     left = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 96, 3))
     right = jax.random.normal(jax.random.PRNGKey(2), (1, 48, 96, 3))
@@ -28,11 +41,13 @@ def test_cf_matches_cl_eval():
                              cf_matching=False)
     d_cf, _ = stereo_forward(specs, params, stats, left, right,
                              cf_matching=True)
+    # fused atol in px: the reassociated stem sum's float noise is
+    # amplified by soft-argmin where the distribution is flat
     np.testing.assert_allclose(np.asarray(d_cf), np.asarray(d_cl),
-                               rtol=1e-4, atol=1e-3)
+                               rtol=1e-4, atol=5e-2 if fused else 1e-3)
 
 
-def test_cf_matches_cl_train_stats():
+def test_cf_matches_cl_train_stats(fused):
     specs, params, stats = _path()
     left = jax.random.normal(jax.random.PRNGKey(3), (2, 48, 96, 3))
     right = jax.random.normal(jax.random.PRNGKey(4), (2, 48, 96, 3))
@@ -42,7 +57,7 @@ def test_cf_matches_cl_train_stats():
     d_cf, s_cf = stereo_forward(specs, params, stats, left, right,
                                 train_sites=ts, cf_matching=True)
     np.testing.assert_allclose(np.asarray(d_cf), np.asarray(d_cl),
-                               rtol=1e-4, atol=1e-3)
+                               rtol=1e-4, atol=5e-2 if fused else 1e-3)
     # BN running stats agree across layouts
     la = jax.tree_util.tree_leaves(s_cl)
     lb = jax.tree_util.tree_leaves(s_cf)
@@ -51,7 +66,7 @@ def test_cf_matches_cl_train_stats():
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_cf_gradients_match():
+def test_cf_gradients_match(fused):
     specs, params, stats = _path()
     left = jax.random.normal(jax.random.PRNGKey(5), (1, 24, 48, 3))
     right = jax.random.normal(jax.random.PRNGKey(6), (1, 24, 48, 3))
@@ -62,10 +77,20 @@ def test_cf_gradients_match():
 
     g_cl = jax.grad(lambda p: loss(p, False))(params)
     g_cf = jax.grad(lambda p: loss(p, True))(params)
+    # Tolerance is scale-aware: the fused stem's reassociated sum leaves
+    # float drift proportional to each tensor's LARGEST contributions (the
+    # op-level fused-stem grad test pins exactness at rtol 1e-5; an
+    # isolated fused-on/off comparison measured ~2e-5 x max|g| drift on
+    # every leaf of this untrained amplifying stack), so small-magnitude
+    # entries in a large-scale tensor legitimately drift far beyond their
+    # own relative size.
+    # 1% relative still catches real layout/math bugs (those are O(1) off).
+    rtol = 1e-2 if fused else 2e-3
     for a, b in zip(jax.tree_util.tree_leaves(g_cl),
                     jax.tree_util.tree_leaves(g_cf)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-3, atol=2e-4)
+        a, b = np.asarray(a), np.asarray(b)
+        atol = (2e-4 if fused else 1e-5) * np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=atol)
 
 
 def test_conv3d_brc_cf_gradients_exact():

@@ -58,6 +58,23 @@ class TestConv3dKernel:
         np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-5)
 
 
+def test_v4_d_blocked_multi_chunk(monkeypatch):
+    """d divisible by 8 routes through the D-blocked manual-DMA variant
+    (db=8, multiple H chunks, unaligned cout). v4 defaults OFF (measured
+    slower on v5e, see pallas_conv3d.py) — forced on here."""
+    monkeypatch.setenv("RAG_TPU_CONV3D_V4", "1")
+    k = jax.random.PRNGKey(7)
+    x = jax.random.normal(k, (1, 8, 32, 16, 6))
+    wt = jax.random.normal(jax.random.PRNGKey(8), (3, 3, 3, 6, 10)) * 0.2
+    scale = jnp.ones(10)
+    bias = jnp.zeros(10)
+    ref = _ref(x, wt, scale, bias, True)
+    out = _conv3d_pallas(x, pack_weights(wt), scale, bias, True,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dw_kernel_matches_xla():
     from rag_tpu.ops.pallas_conv3d import _xla_conv3d_cf, conv3d_dw_pallas
     import jax, jax.numpy as jnp
