@@ -215,6 +215,59 @@ def _conv3d_kernel_v3(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
     out_ref[0, 0] = y3[:cout, :, :w]
 
 
+def _hgeom(h: int):
+    """(hc, win, h_pad) for the blocked-slab kernels at height h."""
+    hc = HC if h % HC == 0 and h > HC else h
+    win = _win(hc)
+    return hc, win, (h - hc) + win
+
+
+def _pad_v2(x_cf):
+    """Host pad for the blocked-slab (v2) kernels: D halo (1,1), one top H
+    halo row + window slack, W untouched. Shared between the forward and
+    the dx/dw backward so the pad pass is paid ONCE per tensor."""
+    h = x_cf.shape[3]
+    _, _, h_pad = _hgeom(h)
+    return jnp.pad(x_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1),
+                          (0, 0)))
+
+
+def _conv3d_v2_pre(xp, d: int, h: int, w: int, wk, scale_p, bias_p,
+                   relu: bool, interpret: bool, cout: int):
+    """v2 blocked-slab pallas_call on a PREPADDED input (see _pad_v2).
+
+    xp: (B, d+2, Cin, h_pad, w); wk: packed weights (3*cpad, 9*Cin);
+    scale_p/bias_p: (cpad,) affine already zero-padded to the 8-aligned
+    block size. Returns (B, d, Cout, h, w)."""
+    bsz, _, cin, h_pad, _ = xp.shape
+    hc, _, _ = _hgeom(h)
+    wkl = _wk_of(w)
+    kernel = functools.partial(_conv3d_kernel, h=h, w=w, cin=cin,
+                               cout=cout, relu=relu)
+    mk_slab = lambda off: pl.BlockSpec(
+        (1, 1, cin, h_pad, w),
+        functools.partial(lambda b, dd, o: (b, dd + o, 0, 0, 0), o=off),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, d),
+        in_specs=[
+            mk_slab(0), mk_slab(1), mk_slab(2),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (3cpad, 9C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale (cpad, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias  (cpad, 1)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((9 * cin, hc * wkl), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, xp, xp, wk, scale_p.reshape(-1, 1), bias_p.reshape(-1, 1))
+
+
 def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
     """Channel-first core. x_cf: (B, D, C, H, W); wk: (Cout, 27*Cin)
     tap-major; returns (B, D, Cout, H, W)."""
@@ -277,32 +330,9 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
     v2_bytes = (3 * 2 * cin * (h_pad + 2) * w + 9 * cin * hc * wkl
                 + 2 * cout * h * w) * 4
     if v2_bytes <= 12 * 1024 * 1024 and h % 8 == 0 and not force_v3:
-        xp = jnp.pad(x_cf,
-                     ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
-        kernel = functools.partial(_conv3d_kernel, h=h, w=w, cin=cin,
-                                   cout=cout, relu=relu)
-        mk_slab = lambda off: pl.BlockSpec(
-            (1, 1, cin, h_pad, w),
-            functools.partial(lambda b, dd, o: (b, dd + o, 0, 0, 0), o=off),
-            memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=(bsz, d),
-            in_specs=[
-                mk_slab(0), mk_slab(1), mk_slab(2),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (Cout,27C)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # scale (Cout, 1)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias  (Cout, 1)
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((9 * cin, hc * wkl), jnp.float32),
-            ],
-            interpret=interpret,
-        )(xp, xp, xp, wk, scale.reshape(-1, 1), bias.reshape(-1, 1))
+        xp = _pad_v2(x_cf)
+        return _conv3d_v2_pre(xp, d, h, w, wk, scale, bias, relu, interpret,
+                              cout)
 
     # v3: grid over (B, D, H-tiles); row windows [ih*hb, ih*hb + hb + 8)
     # of the host-padded rows must stay in bounds; W host-padded to the
@@ -356,7 +386,18 @@ def _xla_conv3d(x, w):
         preferred_element_type=jnp.float32)
 
 
+def _interp_forced() -> bool:
+    """RAG_TPU_KERNEL_INTERPRET=1 routes the kernel paths through the
+    Pallas interpreter on any backend — CPU tests use it to exercise the
+    exact TPU code paths (fast backward included)."""
+    import os
+
+    return os.environ.get("RAG_TPU_KERNEL_INTERPRET") == "1"
+
+
 def _on_tpu() -> bool:
+    if _interp_forced():
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -379,7 +420,7 @@ def conv3d_brc(x, w, scale, bias, relu=True):
     """
     if _on_tpu():
         return _conv3d_pallas(x, pack_weights(w), scale, bias, relu,
-                              interpret=False)
+                              interpret=_interp_forced())
     y = _xla_conv3d(x, w) * scale + bias
     return jnp.maximum(y, 0.0) if relu else y
 
@@ -406,10 +447,16 @@ conv3d_brc.defvjp(_fwd, _bwd)
 
 
 def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
-                      *, h: int, w: int, cin: int, cout: int):
+                      *, h: int, w: int, cin: int, cout: int,
+                      dz_padded: bool):
     """dw[dw_tap, (dd,dh,ci), co] += patches @ shift_inv(dz)^T, accumulated
     across the whole (B, D) grid into the single revisited output block.
-    Roll-free patches; the inverse dw shift lands on the small dz."""
+    Roll-free patches; the inverse dw shift lands on the small dz.
+
+    dz_padded: dz_ref carries the same _pad_v2 halo as the input slabs
+    (the fast backward shares ONE padded dz between the dx and dw
+    kernels) — rows shift by the 1-row top halo; halo rows are zero so
+    they contribute nothing even when read."""
     b = pl.program_id(0)
     d = pl.program_id(1)
 
@@ -434,9 +481,18 @@ def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
                 rows = bases[dd][:, dh:dh + hc, :]
                 patches[t * cin:(t + 1) * cin, :] = rows.reshape(cin, hc * wk)
                 t += 1
-        dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
-        if wk != w:
-            dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
+        if dz_padded:
+            # pad the aligned window BEFORE the offset-1 row slice: Mosaic
+            # cannot lane-concat (pad) a value that carries a sublane
+            # offset ("result/input offset mismatch on non-concat dim")
+            dzw = dz_ref[0, 0, :, pl.ds(h0, win), :]
+            if wk != w:
+                dzw = jnp.pad(dzw, ((0, 0), (0, 0), (0, wk - w)))
+            dzc = dzw[:, 1:1 + hc, :]
+        else:
+            dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
+            if wk != w:
+                dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
         # dL/dW[dw] pairs x[i] with dz[i - (dw-1)]: stack the 3
         # inverse-shifted dz copies along N so the contraction runs as ONE
         # matmul (N=3*cout instead of 3 matmuls at N=cout, which left 90%
@@ -458,27 +514,42 @@ def conv3d_dw_pallas(x_cf, dz_cf, interpret: bool = False):
 
     x_cf: (B, D, Cin, H, W); dz_cf: (B, D, Cout, H, W) cotangent of the
     pre-affine conv output. Returns dw (3,3,3,Cin,Cout)."""
-    bsz, d, cin, h, w = x_cf.shape
-    cout = dz_cf.shape[2]
-    hc = HC if h % HC == 0 and h > HC else h
-    win = _win(hc)
-    h_pad = (h - hc) + win
-    xp = jnp.pad(x_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
+    h = x_cf.shape[3]
+    return conv3d_dw_pallas_pre(_pad_v2(x_cf), dz_cf, h, dz_padded=False,
+                                interpret=interpret or _interp_forced())
+
+
+def conv3d_dw_pallas_pre(xp, dz, h: int, dz_padded: bool,
+                         interpret: bool = False):
+    """dw kernel on a PREPADDED input (and optionally prepadded dz).
+
+    xp: (B, D+2, Cin, h_pad, W) from _pad_v2; dz: either the raw
+    (B, D, Cout, h, W) cotangent or its _pad_v2 form (dz_padded=True) —
+    the fast backward passes the SAME padded dz to both the dx conv and
+    this kernel, paying the pad pass once."""
+    bsz, dp2, cin, h_pad, w = xp.shape
+    d = dp2 - 2
+    cout = dz.shape[2]
+    hc, _, _ = _hgeom(h)
 
     kernel = functools.partial(_conv3d_dw_kernel, h=h, w=w, cin=cin,
-                               cout=cout)
+                               cout=cout, dz_padded=dz_padded)
     mk_slab = lambda off: pl.BlockSpec(
         (1, 1, cin, h_pad, w),
         functools.partial(lambda b, dd, o: (b, dd + o, 0, 0, 0), o=off),
         memory_space=pltpu.VMEM)
+    if dz_padded:
+        dz_spec = pl.BlockSpec((1, 1, cout, h_pad, w),
+                               lambda b, dd: (b, dd + 1, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        dz_spec = pl.BlockSpec((1, 1, cout, h, w),
+                               lambda b, dd: (b, dd, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
     dw = pl.pallas_call(
         kernel,
         grid=(bsz, d),
-        in_specs=[
-            mk_slab(0), mk_slab(1), mk_slab(2),
-            pl.BlockSpec((1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[mk_slab(0), mk_slab(1), mk_slab(2), dz_spec],
         out_specs=pl.BlockSpec((9 * cin, 3 * cout), lambda b, dd: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
@@ -486,7 +557,7 @@ def conv3d_dw_pallas(x_cf, dz_cf, interpret: bool = False):
             pltpu.VMEM((9 * cin, hc * _wk_of(w)), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, xp, dz_cf)
+    )(xp, xp, xp, dz)
     # [(dd, dh, ci), (dw, co)] -> (dd, dh, dw, ci, co)
     return dw.reshape(3, 3, cin, 3, cout).transpose(0, 1, 3, 2, 4)
 
@@ -510,7 +581,7 @@ def conv3d_brc_cf(x_cf, w, scale, bias, relu=True):
     """Fused conv+affine+ReLU on a channel-first (B,D,C,H,W) volume."""
     if _on_tpu():
         return _conv3d_pallas_cf(x_cf, pack_weights(w), scale, bias, relu,
-                                 interpret=False)
+                                 interpret=_interp_forced())
     y = _xla_conv3d_cf(x_cf, w) * scale.reshape(1, 1, -1, 1, 1) \
         + bias.reshape(1, 1, -1, 1, 1)
     return jnp.maximum(y, 0.0) if relu else y
@@ -526,40 +597,101 @@ def _conv_only_cf(x_cf, w):
     if _pallas_ok(x_cf):
         return _conv3d_pallas_cf(
             x_cf, pack_weights(w), jnp.ones((cout,), jnp.float32),
-            jnp.zeros((cout,), jnp.float32), False, False)
+            jnp.zeros((cout,), jnp.float32), False, _interp_forced())
     return _xla_conv3d_cf(x_cf, w)
+
+
+def _v2_fits(cin: int, cout: int, h: int, w: int) -> bool:
+    hc, _, h_pad = _hgeom(h)
+    wkl = _wk_of(w)
+    v2_bytes = (3 * 2 * cin * (h_pad + 2) * w + 9 * cin * hc * wkl
+                + 2 * cout * h * w) * 4
+    return v2_bytes <= 12 * 1024 * 1024 and h % 8 == 0
+
+
+def _fast_bwd_ok(x_cf, cin: int, cout: int) -> bool:
+    """The shared-pad fast backward engages when the v2 blocked-slab
+    kernel fits for BOTH conv directions (fwd/dw: cin->cout, dx:
+    cout->cin) and no env var forces another variant."""
+    import os
+
+    if (os.environ.get("RAG_TPU_CONV3D_V3") == "1"
+            or os.environ.get("RAG_TPU_CONV3D_V4", "0") == "1"):
+        return False
+    h, w = x_cf.shape[3], x_cf.shape[4]
+    return (_pallas_ok(x_cf) and _v2_fits(cin, cout, h, w)
+            and _v2_fits(cout, cin, h, w))
+
+
+def _id_affine(cout: int):
+    cpad = _cpad_of(cout)
+    ones = jnp.pad(jnp.ones((cout,), jnp.float32), (0, cpad - cout))
+    return ones, jnp.zeros((cpad,), jnp.float32)
 
 
 def _fwd_cf(x, w, scale, bias, relu):
     """Differentiated forward: keep the pre-affine conv output z as the
     residual so the backward needs NO forward recompute (the naive
-    jax.vjp-of-XLA backward re-ran the conv just to get the ReLU mask)."""
-    z = _conv_only_cf(x, w)
+    jax.vjp-of-XLA backward re-ran the conv just to get the ReLU mask).
+
+    On the fast path the residual input is the PADDED x (see _pad_v2):
+    the dw kernel consumes it directly, so the pad pass is paid once in
+    the forward instead of again in the backward."""
+    cin, cout = w.shape[3], w.shape[4]
+    if _fast_bwd_ok(x, cin, cout):
+        xp = _pad_v2(x)
+        ones, zeros = _id_affine(cout)
+        z = _conv3d_v2_pre(xp, x.shape[1], x.shape[3], x.shape[4],
+                           pack_weights(w), ones, zeros, False,
+                           _interp_forced(), cout)
+        res_x = xp
+    else:
+        z = _conv_only_cf(x, w)
+        res_x = x
     sh = (1, 1, -1, 1, 1)
     y = z * scale.reshape(sh) + bias.reshape(sh)
     out = jnp.maximum(y, 0.0) if relu else y
-    return out, (x, w, scale, bias, z)
+    return out, (res_x, w, scale, bias, z)
 
 
 def _bwd_cf(relu, res, g):
-    x, w, scale, bias, z = res
+    res_x, w, scale, bias, z = res
+    cin, cout = w.shape[3], w.shape[4]
     sh = (1, 1, -1, 1, 1)
     if relu:
         y = z * scale.reshape(sh) + bias.reshape(sh)
-        g = g * (y > 0)
+        gm = g * (y > 0)
+    else:
+        gm = g
     axes = (0, 1, 3, 4)
-    dbias = jnp.sum(g, axis=axes)
-    dscale = jnp.sum(g * z, axis=axes)
-    dz = g * scale.reshape(sh)
+    dbias = jnp.sum(gm, axis=axes)
+    dscale = jnp.sum(gm * z, axis=axes)
+    wf = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    if res_x.shape[1] != z.shape[1]:
+        # fast path (padded residual): ONE padded relu-masked cotangent
+        # feeds both the dx conv and the dw kernel (XLA fuses the mask
+        # into the pad write); the affine scale folds into the flipped
+        # dx weights and post-scales dw, so dz = g*scale never
+        # materializes as its own pass
+        dzp = _pad_v2(gm)
+        b, d, _, h, wdt = z.shape
+        wf_s = wf * scale.reshape(1, 1, 1, -1, 1)
+        ones_i, zeros_i = _id_affine(cin)
+        dx = _conv3d_v2_pre(dzp, d, h, wdt, pack_weights(wf_s),
+                            ones_i, zeros_i, False, _interp_forced(), cin)
+        dw = conv3d_dw_pallas_pre(res_x, dzp, h, dz_padded=True,
+                                  interpret=_interp_forced())
+        dw = dw * scale.reshape(1, 1, 1, 1, -1)
+        return dx, dw, dscale, dbias
+    dz = gm * scale.reshape(sh)
     # dL/dx = conv(dz, spatially-flipped io-transposed w) — 3x3x3 stride-1
     # again, so the Pallas kernel handles it too
-    wf = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
     dx = _conv_only_cf(dz, wf)
-    if _pallas_ok(x):
-        dw = conv3d_dw_pallas(x, dz)
+    if _pallas_ok(res_x):
+        dw = conv3d_dw_pallas(res_x, dz)
     else:
         # XLA's conv-weight-gradient (a big spatial reduction)
-        _, vjp_w = jax.vjp(lambda w_: _xla_conv3d_cf(x, w_), w)
+        _, vjp_w = jax.vjp(lambda w_: _xla_conv3d_cf(res_x, w_), w)
         (dw,) = vjp_w(dz)
     return dx, dw, dscale, dbias
 

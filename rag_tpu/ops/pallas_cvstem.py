@@ -48,6 +48,16 @@ from rag_tpu.ops.pallas_conv3d import (
 )
 
 
+def _pad_dz(dz_cf):
+    """D/H halo pad for the backward kernels (same geometry as the
+    forward's feature pad along H)."""
+    h = dz_cf.shape[3]
+    hc = HC if h % HC == 0 and h > HC else h
+    h_pad = (h - hc) + _win(hc)
+    return jnp.pad(dz_cf,
+                   ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
+
+
 def _masked_slabs(x_win, y_win, d, dd, w, num_disp):
     """The (dd in 0..2) cost-volume D-slab pieces for output plane d,
     built from feature windows (C, hc_win, wk). Returns (x_part, y_part),
@@ -227,11 +237,14 @@ def _cvstem_dxy_kernel(dz0_ref, dz1_ref, dz2_ref, wf_ref, dx_ref, dy_ref,
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
 
 
-def cvstem_dxy_pallas(dz_cf, w3, num_disp: int, interpret: bool = False):
+def cvstem_dxy_pallas(dz_cf, w3, num_disp: int, interpret: bool = False,
+                      zp=None):
     """Adjoints (dX, dY) of cvstem wrt the two feature maps.
 
     dz_cf: (B, D, Cout, H, W) cotangent of the pre-affine stem output.
-    w3: (3, 3, 3, 2C, Cout). Returns two (B, C, H, W) arrays."""
+    w3: (3, 3, 3, 2C, Cout). Returns two (B, C, H, W) arrays.
+    zp: optionally the already-padded dz (shared with the dw kernel so
+    the pad pass over the volume-sized cotangent is paid once)."""
     from rag_tpu.ops.pallas_conv3d import pack_weights
 
     b, dnum, cout, h, w = dz_cf.shape
@@ -242,7 +255,8 @@ def cvstem_dxy_pallas(dz_cf, w3, num_disp: int, interpret: bool = False):
     win = _win(hc)
     h_pad = (h - hc) + win
     wf = jnp.transpose(w3[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
-    zp = jnp.pad(dz_cf, ((0, 0), (1, 1), (0, 0), (1, h_pad - h - 1), (0, 0)))
+    if zp is None:
+        zp = _pad_dz(dz_cf)
 
     kernel = functools.partial(_cvstem_dxy_kernel, h=h, w=w, c=c,
                                cout=cout, num_disp=num_disp)
@@ -273,7 +287,8 @@ def cvstem_dxy_pallas(dz_cf, w3, num_disp: int, interpret: bool = False):
 
 
 def _cvstem_dw_kernel(x_ref, y_ref, dz_ref, out_ref, patches, *, h: int,
-                      w: int, c: int, cout: int, num_disp: int):
+                      w: int, c: int, cout: int, num_disp: int,
+                      dz_padded: bool):
     """dw accumulated across (B, D): the conv3d_dw scheme with the
     patches built in VMEM from the feature maps (cvstem's volume)."""
     b = pl.program_id(0)
@@ -301,9 +316,17 @@ def _cvstem_dw_kernel(x_ref, y_ref, dz_ref, out_ref, patches, *, h: int,
                 patches[t * c2 + c:(t + 1) * c2, :] = \
                     yp_[:, dh:dh + hc, :].reshape(c, hc * wk)
                 t += 1
-        dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
-        if wk != w:
-            dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
+        if dz_padded:
+            # pad the aligned window BEFORE the offset-1 row slice (Mosaic
+            # cannot lane-concat a value carrying a sublane offset)
+            dzw = dz_ref[0, 0, :, pl.ds(h0, win), :]
+            if wk != w:
+                dzw = jnp.pad(dzw, ((0, 0), (0, 0), (0, wk - w)))
+            dzc = dzw[:, 1:1 + hc, :]
+        else:
+            dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
+            if wk != w:
+                dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
         dzs = jnp.concatenate(
             [_shift_w(dzc, 2 - dw_, w).reshape(cout, hc * wk)
              for dw_ in range(3)], axis=0)
@@ -316,8 +339,11 @@ def _cvstem_dw_kernel(x_ref, y_ref, dz_ref, out_ref, patches, *, h: int,
 
 
 def cvstem_dw_pallas(x_cf, y_cf, dz_cf, num_disp: int,
-                     interpret: bool = False):
-    """Weight gradient of cvstem. Returns (3,3,3,2C,Cout)."""
+                     interpret: bool = False, zp=None):
+    """Weight gradient of cvstem. Returns (3,3,3,2C,Cout).
+
+    zp: optionally the padded dz shared with cvstem_dxy_pallas; when
+    given, dz_cf supplies only the shape."""
     b, c, h, w = x_cf.shape
     cout = dz_cf.shape[2]
     hc = HC if h % HC == 0 and h > HC else h
@@ -328,7 +354,7 @@ def cvstem_dw_pallas(x_cf, y_cf, dz_cf, num_disp: int,
         f, ((0, 0), (0, 0), (1, h_pad - h - 1), (0, wkl - w)))
 
     kernel = functools.partial(_cvstem_dw_kernel, h=h, w=w, c=c, cout=cout,
-                               num_disp=num_disp)
+                               num_disp=num_disp, dz_padded=zp is not None)
     feat_spec = pl.BlockSpec(
         (1, c, h_pad, wkl), lambda bb, dd: (bb, 0, 0, 0),
         memory_space=pltpu.VMEM)
@@ -337,6 +363,10 @@ def cvstem_dw_pallas(x_cf, y_cf, dz_cf, num_disp: int,
         grid=(b, num_disp),
         in_specs=[
             feat_spec, feat_spec,
+            pl.BlockSpec((1, 1, cout, h_pad, w),
+                         lambda bb, dd: (bb, dd + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if zp is not None else
             pl.BlockSpec((1, 1, cout, h, w), lambda bb, dd: (bb, dd, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -347,7 +377,7 @@ def cvstem_dw_pallas(x_cf, y_cf, dz_cf, num_disp: int,
             pltpu.VMEM((9 * 2 * c, hc * wkl), jnp.float32),
         ],
         interpret=interpret,
-    )(pad_feat(x_cf), pad_feat(y_cf), dz_cf)
+    )(pad_feat(x_cf), pad_feat(y_cf), dz_cf if zp is None else zp)
     return dw.reshape(3, 3, 2 * c, 3, cout).transpose(0, 1, 3, 2, 4)
 
 
@@ -386,10 +416,13 @@ def cvstem_conv(x_cf, y_cf, w3, num_disp):
 
     cout = w3.shape[-1]
     if _use_kernel(x_cf, cout):
+        from rag_tpu.ops.pallas_conv3d import _interp_forced
+
         return cvstem_forward_cf(
             x_cf, y_cf, pack_weights(w3),
             jnp.ones((cout,), jnp.float32),
-            jnp.zeros((cout,), jnp.float32), num_disp, relu=False)
+            jnp.zeros((cout,), jnp.float32), num_disp, relu=False,
+            interpret=_interp_forced())
     return _xla_cvstem(x_cf, y_cf, w3, num_disp)
 
 
@@ -401,8 +434,12 @@ def _cvstem_bwd(num_disp, res, g):
     x_cf, y_cf, w3 = res
     cout = w3.shape[-1]
     if _use_kernel(x_cf, cout):
-        dx, dy = cvstem_dxy_pallas(g, w3, num_disp)
-        dw = cvstem_dw_pallas(x_cf, y_cf, g, num_disp)
+        from rag_tpu.ops.pallas_conv3d import _interp_forced
+
+        ip = _interp_forced()
+        zp = _pad_dz(g)
+        dx, dy = cvstem_dxy_pallas(g, w3, num_disp, interpret=ip, zp=zp)
+        dw = cvstem_dw_pallas(x_cf, y_cf, g, num_disp, interpret=ip, zp=zp)
         return dx, dy, dw
     _, vjp = jax.vjp(lambda a, b, c: _xla_cvstem(a, b, c, num_disp),
                      x_cf, y_cf, w3)
@@ -426,8 +463,11 @@ def cvstem_brc(x_cf, y_cf, w3, scale, bias, num_disp, relu=True):
 
     cout = w3.shape[-1]
     if _use_kernel(x_cf, cout):
+        from rag_tpu.ops.pallas_conv3d import _interp_forced
+
         return cvstem_forward_cf(x_cf, y_cf, pack_weights(w3), scale, bias,
-                                 num_disp, relu=relu)
+                                 num_disp, relu=relu,
+                                 interpret=_interp_forced())
     z = _xla_cvstem(x_cf, y_cf, w3, num_disp)
     z = z * scale.reshape(1, 1, -1, 1, 1) + bias.reshape(1, 1, -1, 1, 1)
     return jnp.maximum(z, 0.0) if relu else z
@@ -448,8 +488,12 @@ def _brc_bwd(num_disp, relu, res, g):
     dscale = jnp.sum(g * z, axis=(0, 1, 3, 4))
     dz = g * scale.reshape(sh)
     if _use_kernel(x_cf, w3.shape[-1]):
-        dx, dy = cvstem_dxy_pallas(dz, w3, num_disp)
-        dw = cvstem_dw_pallas(x_cf, y_cf, dz, num_disp)
+        from rag_tpu.ops.pallas_conv3d import _interp_forced
+
+        ip = _interp_forced()
+        zp = _pad_dz(dz)
+        dx, dy = cvstem_dxy_pallas(dz, w3, num_disp, interpret=ip, zp=zp)
+        dw = cvstem_dw_pallas(x_cf, y_cf, dz, num_disp, interpret=ip, zp=zp)
     else:
         _, vjp = jax.vjp(lambda a, b, c: _xla_cvstem(a, b, c, num_disp),
                          x_cf, y_cf, w3)

@@ -30,10 +30,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rag_tpu.ops.pallas_conv3d import _interp_forced
 from rag_tpu.ops.resize import _interp_matrix_np
 
 
 def _on_tpu() -> bool:
+    if _interp_forced():
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -335,7 +338,7 @@ def _disp_reference(x, maxdisp: int, scale: int):
 def fused_soft_argmin(x, maxdisp: int, scale: int):
     """Fused disparity head. x: (B, D, h, w) 1-channel matching cost."""
     if _on_tpu():
-        return _disp_pallas_raw(x, maxdisp, scale, interpret=False)
+        return _disp_pallas_raw(x, maxdisp, scale, interpret=_interp_forced())
     return _disp_reference(x, maxdisp, scale)[0]
 
 
@@ -345,7 +348,7 @@ def _fsa_fwd(x, maxdisp, scale):
 
 def _fsa_bwd(maxdisp, scale, x, g):
     if _on_tpu():
-        dx = _disp_bwd_pallas(x, g, maxdisp, scale, interpret=False)
+        dx = _disp_bwd_pallas(x, g, maxdisp, scale, interpret=_interp_forced())
         if dx is not None:
             return (dx,)
     # analytic fallback: d(out)/d(y_k) = -p_k (k - out), chained through

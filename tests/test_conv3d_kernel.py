@@ -87,3 +87,58 @@ def test_dw_kernel_matches_xla():
     dw = conv3d_dw_pallas(x, dz, interpret=True)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+class TestFastBackward:
+    """Shared-pad fast VJP (padded residual, one padded dz for dx+dw,
+    scale folded into the flipped weights) vs XLA autodiff. Runs the
+    exact TPU code path via RAG_TPU_KERNEL_INTERPRET=1."""
+
+    def _grads(self, relu, cin=4, cout=6, seed=0):
+        from rag_tpu.ops.pallas_conv3d import _xla_conv3d_cf, conv3d_brc_cf
+
+        k = jax.random.PRNGKey(seed)
+        x = jax.random.normal(k, (1, 4, cin, 16, 16))
+        wt = jax.random.normal(jax.random.PRNGKey(seed + 1),
+                               (3, 3, 3, cin, cout)) * 0.3
+        scale = jax.random.normal(jax.random.PRNGKey(seed + 2),
+                                  (cout,)) * 0.4 + 1.0
+        bias = jax.random.normal(jax.random.PRNGKey(seed + 3), (cout,)) * 0.1
+
+        def f_fused(x_, w_, s_, b_):
+            return (conv3d_brc_cf(x_, w_, s_, b_, relu) ** 2).sum()
+
+        def f_ref(x_, w_, s_, b_):
+            y = _xla_conv3d_cf(x_, w_) * s_.reshape(1, 1, -1, 1, 1) \
+                + b_.reshape(1, 1, -1, 1, 1)
+            y = jnp.maximum(y, 0.0) if relu else y
+            return (y ** 2).sum()
+
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3))(x, wt, scale, bias)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, wt, scale, bias)
+        return g1, g2
+
+    def test_fast_bwd_engages_and_matches(self, monkeypatch):
+        monkeypatch.setenv("RAG_TPU_KERNEL_INTERPRET", "1")
+        from rag_tpu.ops.pallas_conv3d import _fast_bwd_ok
+
+        x = jnp.zeros((1, 4, 4, 16, 16))
+        assert _fast_bwd_ok(x, 4, 6)
+        for relu in (True, False):
+            g1, g2 = self._grads(relu)
+            for a, b in zip(g1, g2):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-4)
+
+    def test_dw_padded_dz_parity(self):
+        from rag_tpu.ops.pallas_conv3d import (_pad_v2, conv3d_dw_pallas,
+                                               conv3d_dw_pallas_pre)
+
+        k = jax.random.PRNGKey(7)
+        x = jax.random.normal(k, (2, 4, 4, 16, 16))
+        dz = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 6, 16, 16))
+        a = conv3d_dw_pallas(x, dz, interpret=True)
+        b = conv3d_dw_pallas_pre(_pad_v2(x), _pad_v2(dz), 16,
+                                 dz_padded=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)

@@ -96,3 +96,18 @@ def test_brc_vjp():
     for u, v in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dw_shared_padded_dz_parity():
+    """cvstem dw kernel consuming the shared padded dz (zp=) matches the
+    unpadded-dz form."""
+    from rag_tpu.ops.pallas_cvstem import (_pad_dz, cvstem_dw_pallas)
+
+    k = jax.random.PRNGKey(11)
+    x = jax.random.normal(k, (1, 4, 16, 16))
+    y = jax.random.normal(jax.random.PRNGKey(12), (1, 4, 16, 16))
+    dz = jax.random.normal(jax.random.PRNGKey(13), (1, 6, 5, 16, 16))
+    a = cvstem_dw_pallas(x, y, dz, 6, interpret=True)
+    b = cvstem_dw_pallas(x, y, dz, 6, interpret=True, zp=_pad_dz(dz))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
