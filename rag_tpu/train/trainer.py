@@ -81,13 +81,17 @@ def make_train_step(specs: Mapping, bn_sites: frozenset, optimizer,
     @jax.jit
     def step(params, stats, opt_state, lr, left, right, disp_gt):
         def loss_fn(p):
-            # fused_head=False for training: the Pallas fwd+bwd head pair
-            # is faster in isolation (2.36 ms vs ~2.6) but measured slower
-            # in the full step (873 vs 941 pairs/s) — the opaque kernel
-            # boundary blocks XLA's cross-op fusion. Eval paths use the
-            # fused head (measured 1.28x at eval geometry).
+            # fused_head in training: round-1 measured the Pallas fwd+bwd
+            # head pair SLOWER in the full step (873 vs 941 pairs/s; the
+            # opaque kernel boundary blocked XLA fusion). Round 2's step is
+            # 3x faster, so the un-fused head's 113 MB (B,192,H,W)
+            # upsample volume is proportionally heavier — override with
+            # RAG_TPU_TRAIN_FUSED_HEAD=1 (measured: see BASELINE.md).
+            import os
+
+            fh = os.environ.get("RAG_TPU_TRAIN_FUSED_HEAD", "0") == "1"
             disp, new_stats = forward(specs, p, stats, left, right,
-                                      train_sites=bn_sites, fused_head=False,
+                                      train_sites=bn_sites, fused_head=fh,
                                       maxdisp=maxdisp)
             loss, mask = supervised_loss(disp, disp_gt, maxdisp)
             return loss, (disp, new_stats, mask)
