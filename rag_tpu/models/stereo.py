@@ -272,12 +272,13 @@ def run_matching_cf(specs, params, stats, cost, train_sites, new_stats,
         out = appl(f"cell_3d{i}", s_p, s_pp)
         s_pp, s_p = s_p, out
 
+    from rag_tpu.ops.pallas_resize import resize_cf
+
     d, h, w = stem0.shape[1], stem0.shape[3], stem0.shape[4]
     x = appl("last_12_3d", s_p)
-    x = resize_linear(x, (d // 2, h // 2, w // 2), (1, 3, 4),
-                      align_corners=True)
+    x = resize_cf(x, d // 2, h // 2, w // 2, True)
     x = appl("last_6_3d", x)
-    x = resize_linear(x, (d, h, w), (1, 3, 4), align_corners=True)
+    x = resize_cf(x, d, h, w, True)
     mat = appl("last_3_3d", x)          # (B, D, 1, h, w)
     return mat[:, :, 0]
 

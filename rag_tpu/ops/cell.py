@@ -257,6 +257,8 @@ def apply_cell_cf(spec: CellSpec, params, stats, s0, s1, train: bool):
     from rag_tpu.ops.convbr import ConvBRSpec
     from rag_tpu.ops.convbr_cf import apply_convbr_cf
 
+    from rag_tpu.ops.pallas_resize import resize_cf
+
     assert spec.ndim == 3
     axes = (1, 3, 4)
     new_stats: Dict[str, Any] = {"ops": {}}
@@ -264,11 +266,11 @@ def apply_cell_cf(spec: CellSpec, params, stats, s0, s1, train: bool):
     if spec.downup != 0:
         scale = 0.5 if spec.downup == -1 else 2.0
         target = tuple(scale_dimension(s1.shape[a], scale) for a in axes)
-        s1 = resize_linear(s1, target, axes, align_corners=True)
+        s1 = resize_cf(s1, *target, True)
     s1_spatial = tuple(s1.shape[a] for a in axes)
     s0_spatial = tuple(s0.shape[a] for a in axes)
     if s0_spatial != s1_spatial:
-        s0 = resize_linear(s0, s1_spatial, axes, align_corners=True)
+        s0 = resize_cf(s0, *s1_spatial, True)
 
     if spec.c_pp != spec.c_out:
         pre_spec = ConvBRSpec(3, spec.c_pp, spec.c_out, 1)
