@@ -336,12 +336,18 @@ def stereo_forward(
     so differentiated paths keep the plain formulation until the fused
     backward kernel lands.
     """
+    from rag_tpu.ops.precision import cast_in
+
     new_stats: Dict[str, Any] = {}
     x = extract_feature(specs, params, stats, left, train_sites, new_stats)
     # thread the (possibly updated) feature-net stats through the right view,
     # matching the reference's two sequential BN updates per step.
     mid = {**stats, **new_stats}
     y = extract_feature(specs, params, mid, right, train_sites, new_stats)
+    # mixed-precision boundary (rag_tpu.ops.precision): the matching half's
+    # volume-sized activations ride bf16-at-rest when enabled; the feature
+    # net (small tensors) and the disparity head (softmin) stay f32.
+    x, y = cast_in(x), cast_in(y)
     if cf_matching is None:
         # cf pays off whenever the Pallas conv3d kernel can run (it lane-
         # pads W internally; H must tile by 8)
@@ -364,6 +370,7 @@ def stereo_forward(
             cost = cost_constraint(cost)
         mat = run_matching(specs, params, {**stats, **new_stats}, cost,
                            train_sites, new_stats)
+    mat = mat.astype(jnp.float32)  # head always runs f32
     if fused_head:
         disp = soft_argmin_disparity_fused(mat, maxdisp, 3)
     else:

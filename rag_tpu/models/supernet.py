@@ -287,10 +287,15 @@ def supernet_forward(params, stats, left, right, fea_ops, mat_ops,
 
     Returns (disp (B,H,W), new_stats). On TPU the matching half runs in
     the channel-first layout through the Pallas conv3d kernels."""
+    from rag_tpu.ops.precision import cast_in
+
     new_stats: Dict[str, Any] = {"fea": {}, "mat": {}}
     x = _fea_forward(params, stats, left, fea_ops, train, new_stats)
     mid = {"fea": {**stats["fea"], **new_stats["fea"]}, "mat": stats["mat"]}
     y = _fea_forward(params, mid, right, fea_ops, train, new_stats)
+    # mixed-precision boundary: the matching half rides bf16-at-rest when
+    # enabled (same policy as the deployed model, rag_tpu.ops.precision)
+    x, y = cast_in(x), cast_in(y)
     if cf_matching is None:
         cf_matching = _default_cf_supernet() and x.shape[1] % 8 == 0
     if cf_matching:
@@ -303,6 +308,7 @@ def supernet_forward(params, stats, left, right, fea_ops, mat_ops,
     else:
         cost = cost_volume(x, y, maxdisp // 3)
         mat = _mat_forward(params, stats, cost, mat_ops, train, new_stats)
+    mat = mat.astype(jnp.float32)  # head always runs f32
     return soft_argmin_disparity(mat, maxdisp, 3), new_stats
 
 

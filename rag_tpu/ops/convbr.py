@@ -88,36 +88,27 @@ _DIMNUMS = {
     3: ("NDHWC", "DHWIO", "NDHWC"),
 }
 
-# compute dtype policy: params/BN stay float32; conv inputs+weights cast to
-# this dtype (bfloat16 feeds the MXU at full rate; f32 costs multiple
-# passes). Set RAG_TPU_COMPUTE_DTYPE=float32 to disable.
-import os as _os
-
-COMPUTE_DTYPE = jnp.dtype(_os.environ.get("RAG_TPU_COMPUTE_DTYPE", "float32"))
+# compute dtype policy lives in rag_tpu.ops.precision (bf16 at rest, f32
+# compute); activations keep their incoming dtype through every op here.
 
 
 def _conv(x, w, spec: ConvBRSpec):
     pad = [(spec.padding, spec.padding)] * spec.ndim
-    if COMPUTE_DTYPE != jnp.float32:
-        # same-dtype in/out keeps the conv VJP well-typed; accumulation in
-        # the MXU is f32 regardless, the cast after restores f32 activations
-        y = jax.lax.conv_general_dilated(
-            x.astype(COMPUTE_DTYPE),
-            w.astype(COMPUTE_DTYPE),
-            window_strides=(spec.stride,) * spec.ndim,
-            padding=pad,
-            dimension_numbers=_DIMNUMS[spec.ndim],
-            preferred_element_type=COMPUTE_DTYPE,
-        )
-        return y.astype(jnp.float32)
-    return jax.lax.conv_general_dilated(
+    # preferred_element_type must equal the operand dtype for non-f32:
+    # an f32-accumulated output makes the conv TRANSPOSE mix a f32
+    # cotangent with bf16 operands (lax.conv requires equal dtypes). The
+    # MXU accumulates bf16 contractions in f32 internally and rounds once
+    # at the output either way.
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    y = jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(spec.stride,) * spec.ndim,
         padding=pad,
         dimension_numbers=_DIMNUMS[spec.ndim],
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
+    return y.astype(x.dtype)
 
 
 def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
@@ -125,11 +116,15 @@ def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
 
     Train mode: normalize by (biased) batch stats; update running stats with
     the unbiased batch variance. Eval mode: normalize by running stats.
+
+    Stats and normalization math run in f32 regardless of the activation
+    dtype (bf16 batch statistics drift); the output keeps x's dtype.
     """
     axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
@@ -140,8 +135,8 @@ def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
     inv = jax.lax.rsqrt(var + BN_EPS)
-    y = (x - mean) * (inv * params["scale"]) + params["bias"]
-    return y, new_stats
+    y = (xf - mean) * (inv * params["scale"]) + params["bias"]
+    return y.astype(x.dtype), new_stats
 
 
 def apply_convbr(spec: ConvBRSpec, params, stats, x, train: bool):

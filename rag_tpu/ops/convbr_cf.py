@@ -22,12 +22,16 @@ from rag_tpu.ops.convbr import BN_EPS, BN_MOMENTUM, ConvBRSpec
 
 
 def batch_norm_cf(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
-    """x: (B, D, C, H, W); channel axis 2."""
+    """x: (B, D, C, H, W); channel axis 2.
+
+    Stats and normalization in f32 (bf16 batch statistics drift); output
+    keeps x's dtype (bf16-at-rest policy, rag_tpu.ops.precision)."""
     axes = (0, 1, 3, 4)
     shape = (1, 1, -1, 1, 1)
+    xf = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
         n = x.size // x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
@@ -38,28 +42,36 @@ def batch_norm_cf(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
     inv = jax.lax.rsqrt(var + BN_EPS)
-    y = (x - mean.reshape(shape)) * (inv * params["scale"]).reshape(shape) \
+    y = (xf - mean.reshape(shape)) * (inv * params["scale"]).reshape(shape) \
         + params["bias"].reshape(shape)
-    return y, new_stats
+    return y.astype(x.dtype), new_stats
 
 
 def _conv_cf(x, w, spec: ConvBRSpec):
-    """Plain XLA conv in NCDHW terms (x: (B, D, C, H, W))."""
+    """Plain XLA conv in NCDHW terms (x: (B, D, C, H, W)).
+
+    Dtype-preserving: weights cast to the activation dtype, accumulation
+    f32, output back in x's dtype (no-ops at f32)."""
+    # preferred_element_type equals the operand dtype for non-f32 so the
+    # transpose never mixes a f32 cotangent into a bf16 conv/dot (the MXU
+    # accumulates f32 internally either way; see rag_tpu.ops.convbr._conv)
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     if spec.kernel == 1 and spec.stride == 1:
         # 1x1x1 conv = channel contraction; dot_general directly in the cf
         # layout skips the two full-volume layout transposes below (the
         # pre/prep/head 1x1s run once per cell on the big matching volume)
-        return jnp.einsum("oi,bdihw->bdohw", w[0, 0, 0].T, x,
-                          preferred_element_type=jnp.float32)
+        y = jnp.einsum("oi,bdihw->bdohw", w[0, 0, 0].T.astype(x.dtype), x,
+                       preferred_element_type=pet)
+        return y.astype(x.dtype)
     # lax expects (N, C, spatial...): permute D into the spatial block
     xt = jnp.transpose(x, (0, 2, 1, 3, 4))  # (B, C, D, H, W)
     wt = jnp.transpose(w, (4, 3, 0, 1, 2))  # (O, I, kd, kh, kw)
     pad = [(spec.padding, spec.padding)] * 3
     y = jax.lax.conv_general_dilated(
-        xt, wt, (spec.stride,) * 3, pad,
+        xt, wt.astype(x.dtype), (spec.stride,) * 3, pad,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32)
-    return jnp.transpose(y, (0, 2, 1, 3, 4))
+        preferred_element_type=pet)
+    return jnp.transpose(y, (0, 2, 1, 3, 4)).astype(x.dtype)
 
 
 def _kernel_ok(spec: ConvBRSpec, x) -> bool:

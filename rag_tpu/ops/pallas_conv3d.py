@@ -88,8 +88,11 @@ def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
     def chunk_body(c, _):
         h0 = pl.multiple_of(c * hc, 8)
         # one aligned (cin, win, w) window load per D-slab; the 9 (dd, dh)
-        # groups are roll-free sublane slices of the loaded VALUE
-        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
+        # groups are roll-free sublane slices of the loaded VALUE. bf16
+        # inputs are cast to f32 right here (aligned load + register
+        # cast; all in-VMEM shuffles stay in the proven f32 layouts).
+        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :].astype(jnp.float32)
+                 for dd in range(3)]
         if wk != w:
             bases = [jnp.pad(b_, ((0, 0), (0, 0), (0, wk - w)))
                      for b_ in bases]
@@ -115,7 +118,8 @@ def _conv3d_kernel(s0_ref, s1_ref, s2_ref, wk_ref, scale_ref, bias_ref,
             + bias_ref[:, 0][:, None, None]
         if relu:
             y3 = jnp.maximum(y3, 0.0)
-        out_ref[0, 0, :, pl.ds(h0, hc), :] = y3[:cout, :, :w]
+        out_ref[0, 0, :, pl.ds(h0, hc), :] = \
+            y3[:cout, :, :w].astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
@@ -145,7 +149,8 @@ def _conv3d_kernel_v4(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
         di = idx // nchunks
         c = idx % nchunks
         h0 = pl.multiple_of(c * hc, 8)
-        bases = [slab[di + dd, :, pl.ds(h0, win), :] for dd in range(3)]
+        bases = [slab[di + dd, :, pl.ds(h0, win), :].astype(jnp.float32)
+                 for dd in range(3)]
         t = 0
         for dd in range(3):
             for dh in range(3):
@@ -164,7 +169,8 @@ def _conv3d_kernel_v4(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
             + bias_ref[:, 0][:, None, None]
         if relu:
             y3 = jnp.maximum(y3, 0.0)
-        out_ref[0, di, :, pl.ds(h0, hc), :] = y3[:cout, :, :w]
+        out_ref[0, di, :, pl.ds(h0, hc), :] = \
+            y3[:cout, :, :w].astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, db * nchunks, body, 0)
@@ -194,7 +200,7 @@ def _conv3d_kernel_v3(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
 
     t = 0
     for dd in range(3):
-        base = slabs[dd]                               # (cin, win, wk)
+        base = slabs[dd][...].astype(jnp.float32)      # (cin, win, wk)
         for dh in range(3):
             rows = base[:, dh:dh + hb, :]              # (cin, hb, wk)
             patches[t * cin:(t + 1) * cin, :] = rows.reshape(cin, hb * wk)
@@ -212,7 +218,7 @@ def _conv3d_kernel_v3(x_hbm, wk_ref, scale_ref, bias_ref, out_ref,
     y3 = y3 * scale_ref[:, 0][:, None, None] + bias_ref[:, 0][:, None, None]
     if relu:
         y3 = jnp.maximum(y3, 0.0)
-    out_ref[0, 0] = y3[:cout, :, :w]
+    out_ref[0, 0] = y3[:cout, :, :w].astype(out_ref.dtype)
 
 
 def _hgeom(h: int):
@@ -260,7 +266,7 @@ def _conv3d_v2_pre(xp, d: int, h: int, w: int, wk, scale_p, bias_p,
         out_specs=pl.BlockSpec(
             (1, 1, cout, h, w), lambda b, dd: (b, dd, 0, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), xp.dtype),
         scratch_shapes=[
             pltpu.VMEM((9 * cin, hc * wkl), jnp.float32),
         ],
@@ -318,9 +324,9 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
                         (1, db, cout, h, w), lambda b, k: (b, k, 0, 0, 0),
                         memory_space=pltpu.VMEM),
                     out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w),
-                                                   jnp.float32),
+                                                   x_cf.dtype),
                     scratch_shapes=[
-                        pltpu.VMEM((db + 2, cin, h_pad, wkl), jnp.float32),
+                        pltpu.VMEM((db + 2, cin, h_pad, wkl), x_cf.dtype),
                         pltpu.VMEM((9 * cin, hc * wkl), jnp.float32),
                         pltpu.SemaphoreType.DMA,
                     ],
@@ -356,9 +362,9 @@ def _conv3d_pallas_cf(x_cf, wk, scale, bias, relu: bool, interpret: bool):
         out_specs=pl.BlockSpec(
             (1, 1, cout, hb, w), lambda b, dd, ih: (b, dd, 0, ih, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, cout, h, w), x_cf.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, cin, hb + 8, wkl), jnp.float32),
+            pltpu.VMEM((3, cin, hb + 8, wkl), x_cf.dtype),
             pltpu.VMEM((9 * cin, hb * wkl), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -380,10 +386,15 @@ def pack_weights(w):
 
 
 def _xla_conv3d(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1, 1), [(1, 1)] * 3,
+    # non-f32: accumulate via the operand dtype so the conv transpose
+    # never mixes a f32 cotangent with bf16 operands (MXU still
+    # accumulates f32 internally; see rag_tpu.ops.convbr._conv)
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=pet)
+    return y.astype(x.dtype)
 
 
 def _interp_forced() -> bool:
@@ -471,7 +482,8 @@ def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
 
     def chunk_body(c, _):
         h0 = pl.multiple_of(c * hc, 8)
-        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
+        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :].astype(jnp.float32)
+                 for dd in range(3)]
         if wk != w:
             bases = [jnp.pad(b_, ((0, 0), (0, 0), (0, wk - w)))
                      for b_ in bases]
@@ -485,12 +497,12 @@ def _conv3d_dw_kernel(s0_ref, s1_ref, s2_ref, dz_ref, out_ref, patches,
             # pad the aligned window BEFORE the offset-1 row slice: Mosaic
             # cannot lane-concat (pad) a value that carries a sublane
             # offset ("result/input offset mismatch on non-concat dim")
-            dzw = dz_ref[0, 0, :, pl.ds(h0, win), :]
+            dzw = dz_ref[0, 0, :, pl.ds(h0, win), :].astype(jnp.float32)
             if wk != w:
                 dzw = jnp.pad(dzw, ((0, 0), (0, 0), (0, wk - w)))
             dzc = dzw[:, 1:1 + hc, :]
         else:
-            dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
+            dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :].astype(jnp.float32)
             if wk != w:
                 dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
         # dL/dW[dw] pairs x[i] with dz[i - (dw-1)]: stack the 3
@@ -569,11 +581,12 @@ def conv3d_dw_pallas_pre(xp, dz, h: int, dz_padded: bool,
 def _xla_conv3d_cf(x_cf, w):
     xt = jnp.transpose(x_cf, (0, 2, 1, 3, 4))       # (B, C, D, H, W)
     wt = jnp.transpose(w, (4, 3, 0, 1, 2))          # (O, I, kd, kh, kw)
+    pet = jnp.float32 if x_cf.dtype == jnp.float32 else x_cf.dtype
     y = jax.lax.conv_general_dilated(
-        xt, wt, (1, 1, 1), [(1, 1)] * 3,
+        xt, wt.astype(x_cf.dtype), (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32)
-    return jnp.transpose(y, (0, 2, 1, 3, 4))
+        preferred_element_type=pet)
+    return jnp.transpose(y, (0, 2, 1, 3, 4)).astype(x_cf.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -582,9 +595,10 @@ def conv3d_brc_cf(x_cf, w, scale, bias, relu=True):
     if _on_tpu():
         return _conv3d_pallas_cf(x_cf, pack_weights(w), scale, bias, relu,
                                  interpret=_interp_forced())
-    y = _xla_conv3d_cf(x_cf, w) * scale.reshape(1, 1, -1, 1, 1) \
-        + bias.reshape(1, 1, -1, 1, 1)
-    return jnp.maximum(y, 0.0) if relu else y
+    y = _xla_conv3d_cf(x_cf, w).astype(jnp.float32) \
+        * scale.reshape(1, 1, -1, 1, 1) + bias.reshape(1, 1, -1, 1, 1)
+    y = jnp.maximum(y, 0.0) if relu else y
+    return y.astype(x_cf.dtype)
 
 
 def _pallas_ok(x_cf) -> bool:
@@ -649,9 +663,9 @@ def _fwd_cf(x, w, scale, bias, relu):
         z = _conv_only_cf(x, w)
         res_x = x
     sh = (1, 1, -1, 1, 1)
-    y = z * scale.reshape(sh) + bias.reshape(sh)
+    y = z.astype(jnp.float32) * scale.reshape(sh) + bias.reshape(sh)
     out = jnp.maximum(y, 0.0) if relu else y
-    return out, (res_x, w, scale, bias, z)
+    return out.astype(x.dtype), (res_x, w, scale, bias, z)
 
 
 def _bwd_cf(relu, res, g):
@@ -659,13 +673,15 @@ def _bwd_cf(relu, res, g):
     cin, cout = w.shape[3], w.shape[4]
     sh = (1, 1, -1, 1, 1)
     if relu:
-        y = z * scale.reshape(sh) + bias.reshape(sh)
-        gm = g * (y > 0)
+        y = z.astype(jnp.float32) * scale.reshape(sh) + bias.reshape(sh)
+        gm = g * (y > 0).astype(g.dtype)
     else:
         gm = g
     axes = (0, 1, 3, 4)
-    dbias = jnp.sum(gm, axis=axes)
-    dscale = jnp.sum(gm * z, axis=axes)
+    # param grads accumulate f32 regardless of the activation dtype
+    dbias = jnp.sum(gm.astype(jnp.float32), axis=axes)
+    dscale = jnp.sum(gm.astype(jnp.float32) * z.astype(jnp.float32),
+                     axis=axes)
     wf = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
     if res_x.shape[1] != z.shape[1]:
         # fast path (padded residual): ONE padded relu-masked cotangent
@@ -683,7 +699,7 @@ def _bwd_cf(relu, res, g):
                                   interpret=_interp_forced())
         dw = dw * scale.reshape(1, 1, 1, 1, -1)
         return dx, dw, dscale, dbias
-    dz = gm * scale.reshape(sh)
+    dz = (gm.astype(jnp.float32) * scale.reshape(sh)).astype(res_x.dtype)
     # dL/dx = conv(dz, spatially-flipped io-transposed w) — 3x3x3 stride-1
     # again, so the Pallas kernel handles it too
     dx = _conv_only_cf(dz, wf)

@@ -87,8 +87,9 @@ def _cvstem_kernel(x_ref, y_ref, wk_ref, scale_ref, bias_ref, out_ref,
 
     def chunk_body(ch, _):
         h0 = pl.multiple_of(ch * hc, 8)
-        xw = x_ref[0, :, pl.ds(h0, win), :]          # (c, win, wk)
-        yw = y_ref[0, :, pl.ds(h0, win), :]
+        # aligned window load + register cast to f32 (bf16-at-rest policy)
+        xw = x_ref[0, :, pl.ds(h0, win), :].astype(jnp.float32)
+        yw = y_ref[0, :, pl.ds(h0, win), :].astype(jnp.float32)
         t = 0
         for dd in range(3):
             xp_, yp_ = _masked_slabs(xw, yw, d, dd, w, num_disp)
@@ -110,7 +111,8 @@ def _cvstem_kernel(x_ref, y_ref, wk_ref, scale_ref, bias_ref, out_ref,
             + bias_ref[:, 0][:, None, None]
         if relu:
             y3 = jnp.maximum(y3, 0.0)
-        out_ref[0, 0, :, pl.ds(h0, hc), :] = y3[:cout, :, :w]
+        out_ref[0, 0, :, pl.ds(h0, hc), :] = \
+            y3[:cout, :, :w].astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, h // hc, chunk_body, 0)
@@ -157,7 +159,7 @@ def cvstem_forward_cf(x_cf, y_cf, wk, scale, bias, num_disp: int,
             (1, 1, cout, h, w), lambda bb, dd: (bb, dd, 0, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, num_disp, cout, h, w),
-                                       jnp.float32),
+                                       x_cf.dtype),
         scratch_shapes=[
             pltpu.VMEM((9 * 2 * c, hc * wkl), jnp.float32),
         ],
@@ -205,7 +207,8 @@ def _cvstem_dxy_kernel(dz0_ref, dz1_ref, dz2_ref, wf_ref, dx_ref, dy_ref,
 
     def chunk_body(ch, _):
         h0 = pl.multiple_of(ch * hc, 8)
-        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :] for dd in range(3)]
+        bases = [slabs[dd][0, 0, :, pl.ds(h0, win), :].astype(jnp.float32)
+                 for dd in range(3)]
         if wk != w:
             bases = [jnp.pad(b_, ((0, 0), (0, 0), (0, wk - w)))
                      for b_ in bases]
@@ -305,8 +308,8 @@ def _cvstem_dw_kernel(x_ref, y_ref, dz_ref, out_ref, patches, *, h: int,
 
     def chunk_body(ch, _):
         h0 = pl.multiple_of(ch * hc, 8)
-        xw = x_ref[0, :, pl.ds(h0, win), :]
-        yw = y_ref[0, :, pl.ds(h0, win), :]
+        xw = x_ref[0, :, pl.ds(h0, win), :].astype(jnp.float32)
+        yw = y_ref[0, :, pl.ds(h0, win), :].astype(jnp.float32)
         t = 0
         for dd in range(3):
             xp_, yp_ = _masked_slabs(xw, yw, d, dd, w, num_disp)
@@ -319,12 +322,12 @@ def _cvstem_dw_kernel(x_ref, y_ref, dz_ref, out_ref, patches, *, h: int,
         if dz_padded:
             # pad the aligned window BEFORE the offset-1 row slice (Mosaic
             # cannot lane-concat a value carrying a sublane offset)
-            dzw = dz_ref[0, 0, :, pl.ds(h0, win), :]
+            dzw = dz_ref[0, 0, :, pl.ds(h0, win), :].astype(jnp.float32)
             if wk != w:
                 dzw = jnp.pad(dzw, ((0, 0), (0, 0), (0, wk - w)))
             dzc = dzw[:, 1:1 + hc, :]
         else:
-            dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :]
+            dzc = dz_ref[0, 0, :, pl.ds(h0, hc), :].astype(jnp.float32)
             if wk != w:
                 dzc = jnp.pad(dzc, ((0, 0), (0, 0), (0, wk - w)))
         dzs = jnp.concatenate(
@@ -440,7 +443,8 @@ def _cvstem_bwd(num_disp, res, g):
         zp = _pad_dz(g)
         dx, dy = cvstem_dxy_pallas(g, w3, num_disp, interpret=ip, zp=zp)
         dw = cvstem_dw_pallas(x_cf, y_cf, g, num_disp, interpret=ip, zp=zp)
-        return dx, dy, dw
+        # dX/dY accumulate f32 in the kernel; cotangents take x's dtype
+        return dx.astype(x_cf.dtype), dy.astype(y_cf.dtype), dw
     _, vjp = jax.vjp(lambda a, b, c: _xla_cvstem(a, b, c, num_disp),
                      x_cf, y_cf, w3)
     return vjp(g)
@@ -468,9 +472,10 @@ def cvstem_brc(x_cf, y_cf, w3, scale, bias, num_disp, relu=True):
         return cvstem_forward_cf(x_cf, y_cf, pack_weights(w3), scale, bias,
                                  num_disp, relu=relu,
                                  interpret=_interp_forced())
-    z = _xla_cvstem(x_cf, y_cf, w3, num_disp)
+    z = _xla_cvstem(x_cf, y_cf, w3, num_disp).astype(jnp.float32)
     z = z * scale.reshape(1, 1, -1, 1, 1) + bias.reshape(1, 1, -1, 1, 1)
-    return jnp.maximum(z, 0.0) if relu else z
+    z = jnp.maximum(z, 0.0) if relu else z
+    return z.astype(x_cf.dtype)
 
 
 def _brc_fwd(x_cf, y_cf, w3, scale, bias, num_disp, relu):
@@ -482,11 +487,12 @@ def _brc_bwd(num_disp, relu, res, g):
     x_cf, y_cf, w3, scale, out = res
     sh = (1, 1, -1, 1, 1)
     if relu:
-        g = g * (out > 0)
-    dbias = jnp.sum(g, axis=(0, 1, 3, 4))
+        g = g * (out > 0).astype(g.dtype)
+    dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 3, 4))
     z = cvstem_conv(x_cf, y_cf, w3, num_disp)
-    dscale = jnp.sum(g * z, axis=(0, 1, 3, 4))
-    dz = g * scale.reshape(sh)
+    dscale = jnp.sum(g.astype(jnp.float32) * z.astype(jnp.float32),
+                     axis=(0, 1, 3, 4))
+    dz = (g.astype(jnp.float32) * scale.reshape(sh)).astype(x_cf.dtype)
     if _use_kernel(x_cf, w3.shape[-1]):
         from rag_tpu.ops.pallas_conv3d import _interp_forced
 
@@ -494,6 +500,7 @@ def _brc_bwd(num_disp, relu, res, g):
         zp = _pad_dz(dz)
         dx, dy = cvstem_dxy_pallas(dz, w3, num_disp, interpret=ip, zp=zp)
         dw = cvstem_dw_pallas(x_cf, y_cf, dz, num_disp, interpret=ip, zp=zp)
+        dx, dy = dx.astype(x_cf.dtype), dy.astype(y_cf.dtype)
     else:
         _, vjp = jax.vjp(lambda a, b, c: _xla_cvstem(a, b, c, num_disp),
                          x_cf, y_cf, w3)

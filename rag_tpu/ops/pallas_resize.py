@@ -147,6 +147,8 @@ def _use_kernel(x) -> bool:
 
     if os.environ.get("RAG_TPU_RESIZE_KERNEL", "0") != "1":
         return False
+    if x.dtype != jnp.float32:  # kernel is f32-only; bf16 rides XLA
+        return False
     b, d, c, h, w = x.shape
     slab_bytes = 4 * c * h * w
     return _on_tpu() and slab_bytes * 4 <= 12 * 1024 * 1024
@@ -186,8 +188,9 @@ def _resize_bwd(d2, h2, w2, align_corners, in_shape, g):
             continue
         m = interp_matrix(n_in, n_out, align_corners)  # (n_out, n_in)
         out = jnp.moveaxis(out, axis, -1)
-        out = jnp.matmul(out, m, preferred_element_type=jnp.float32)
-        out = jnp.moveaxis(out, -1, axis)
+        out = jnp.matmul(out, m.astype(g.dtype),
+                         preferred_element_type=jnp.float32)
+        out = jnp.moveaxis(out, -1, axis).astype(g.dtype)
     return (out,)
 
 

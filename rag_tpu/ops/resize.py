@@ -58,14 +58,19 @@ def resize_linear(x, out_sizes, axes, align_corners: bool):
     x: any-rank array; axes: tuple of axis indices; out_sizes: matching tuple.
     """
     assert len(out_sizes) == len(axes)
+    dt = x.dtype
     for axis, n_out in zip(axes, out_sizes):
         n_in = x.shape[axis]
         if n_in == n_out:
             continue
-        m = interp_matrix(n_in, n_out, align_corners)
+        # dtype-preserving: bf16 activations contract against a bf16 copy
+        # of the (exactly-representable-to-~3 decimal digits) interp matrix
+        # with f32 accumulation — keeps the bf16-at-rest policy's traffic
+        # halving through the resize chain.
+        m = interp_matrix(n_in, n_out, align_corners).astype(dt)
         x = jnp.moveaxis(x, axis, -1)
-        x = jnp.matmul(x, m.T, preferred_element_type=jnp.float32)
-        x = jnp.moveaxis(x, -1, axis)
+        x = jnp.matmul(x, m.T, preferred_element_type=dt)
+        x = jnp.moveaxis(x, -1, axis).astype(dt)
     return x
 
 
