@@ -132,31 +132,44 @@ def init_sites(key, specs: Mapping[str, Spec]) -> Tuple[Dict, Dict]:
     return params, stats
 
 
-def _apply(specs, params, stats, name, x, train_sites, new_stats, *extra):
+def _apply(specs, params, stats, name, x, train_sites, new_stats, *extra,
+           halves: int = 1):
     spec = specs[name]
     train = name in train_sites
     if isinstance(spec, CellSpec):
-        out, st = apply_cell(spec, params[name], stats[name], extra[0], x, train)
+        out, st = apply_cell(spec, params[name], stats[name], extra[0], x,
+                             train, halves=halves)
     else:
-        out, st = apply_convbr(spec, params[name], stats[name], x, train)
+        out, st = apply_convbr(spec, params[name], stats[name], x, train,
+                               halves=halves)
     new_stats[name] = st
     return out
 
 
-def extract_feature(specs, params, stats, image, train_sites, new_stats):
+def extract_feature(specs, params, stats, image, train_sites, new_stats,
+                    halves: int = 1):
     """2D feature net: image (B,H,W,3) -> features (B,H/3,W/3,12).
 
     Mirrors Network.feature (rag_model.py:285-323): stems, 4 cells chained as
     (prev_prev, prev) pairs, then the bn/relu-free last_3_2d projection.
+
+    halves=2: image is left+right stacked along batch — train-mode BN uses
+    per-half statistics + two sequential EMA updates (see
+    rag_tpu.ops.convbr.batch_norm), exactly the reference's two passes.
     """
-    s = _apply(specs, params, stats, "stem_2d0", image, train_sites, new_stats)
-    stem1 = _apply(specs, params, stats, "stem_2d1", s, train_sites, new_stats)
-    stem2 = _apply(specs, params, stats, "stem_2d2", stem1, train_sites, new_stats)
+    s = _apply(specs, params, stats, "stem_2d0", image, train_sites,
+               new_stats, halves=halves)
+    stem1 = _apply(specs, params, stats, "stem_2d1", s, train_sites,
+                   new_stats, halves=halves)
+    stem2 = _apply(specs, params, stats, "stem_2d2", stem1, train_sites,
+                   new_stats, halves=halves)
     s_pp, s_p = stem1, stem2
     for i in range(4):
-        out = _apply(specs, params, stats, f"cell_2d{i}", s_p, train_sites, new_stats, s_pp)
+        out = _apply(specs, params, stats, f"cell_2d{i}", s_p, train_sites,
+                     new_stats, s_pp, halves=halves)
         s_pp, s_p = s_p, out
-    return _apply(specs, params, stats, "last_3_2d", s_p, train_sites, new_stats)
+    return _apply(specs, params, stats, "last_3_2d", s_p, train_sites,
+                  new_stats, halves=halves)
 
 
 def _fused_stem_ok(spec) -> bool:
@@ -339,11 +352,17 @@ def stereo_forward(
     from rag_tpu.ops.precision import cast_in
 
     new_stats: Dict[str, Any] = {}
-    x = extract_feature(specs, params, stats, left, train_sites, new_stats)
-    # thread the (possibly updated) feature-net stats through the right view,
-    # matching the reference's two sequential BN updates per step.
-    mid = {**stats, **new_stats}
-    y = extract_feature(specs, params, mid, right, train_sites, new_stats)
+    # The left/right feature extractions run as ONE stacked batch: convs,
+    # frozen-BN, resizes are batch-elementwise, and train-mode BN uses
+    # per-half statistics + the two sequential EMA updates (batch_norm
+    # halves=2) — exactly the reference's sequential two-pass semantics
+    # (rag_model.py:372-373) at half the per-op dispatch and double the
+    # lane utilization of these tiny-channel 2D convs.
+    both = jnp.concatenate([left, right], axis=0)
+    f = extract_feature(specs, params, stats, both, train_sites, new_stats,
+                        halves=2)
+    bsz = left.shape[0]
+    x, y = f[:bsz], f[bsz:]
     # mixed-precision boundary (rag_tpu.ops.precision): the matching half's
     # volume-sized activations ride bf16-at-rest when enabled; the feature
     # net (small tensors) and the disparity head (softmin) stay f32.

@@ -78,7 +78,7 @@ def init_supercell(key, spec: SuperCellSpec):
     return params, stats
 
 
-def _mixed_op(conv_spec, p, st, x, op_idx, train, cf=False):
+def _mixed_op(conv_spec, p, st, x, op_idx, train, cf=False, halves=1):
     """lax.cond between identity (op 0) and ConvBR 3x3 (op 1)."""
 
     def conv_branch(args):
@@ -87,7 +87,7 @@ def _mixed_op(conv_spec, p, st, x, op_idx, train, cf=False):
             from rag_tpu.ops.convbr_cf import apply_convbr_cf
 
             return apply_convbr_cf(conv_spec, p_, st_, x_, train)
-        return apply_convbr(conv_spec, p_, st_, x_, train)
+        return apply_convbr(conv_spec, p_, st_, x_, train, halves=halves)
 
     def skip_branch(args):
         _, st_, x_ = args
@@ -97,7 +97,7 @@ def _mixed_op(conv_spec, p, st, x, op_idx, train, cf=False):
 
 
 def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train,
-                    cf=False):
+                    cf=False, halves=1):
     """ops: (9,) int array of sampled op indices. Returns (out, new_stats).
 
     cf=True runs a 3D cell in the channel-first (B, D, C, H, W) layout
@@ -119,7 +119,8 @@ def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train,
         tgt = tuple(scale_dimension(s1.shape[a], scale) for a in axes)
         s1 = resize_linear(s1, tgt, axes, align_corners=True)
     prep = ConvBRSpec(ndim, spec.c_p, spec.c_out, 1)
-    s1p, new_stats["prep"] = _apply(prep, params["prep"], stats["prep"], s1, train)
+    s1p, new_stats["prep"] = _apply(prep, params["prep"], stats["prep"], s1,
+                                    train, **({} if cf else {"halves": halves}))
 
     if spec.has_s0:
         s1_spatial = tuple(s1p.shape[a] for a in axes)
@@ -127,7 +128,9 @@ def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train,
             s0 = resize_linear(s0, s1_spatial, axes, align_corners=True)
         if spec.c_pp != spec.c_out:
             pre = ConvBRSpec(ndim, spec.c_pp, spec.c_out, 1)
-            s0, new_stats["pre"] = _apply(pre, params["pre"], stats["pre"], s0, train)
+            s0, new_stats["pre"] = _apply(pre, params["pre"], stats["pre"],
+                                          s0, train,
+                                          **({} if cf else {"halves": halves}))
     else:
         s0 = None
 
@@ -143,7 +146,7 @@ def apply_supercell(spec: SuperCellSpec, params, stats, s0, s1, ops, train,
             k = str(e)
             out, new_stats["edges"][k] = _mixed_op(
                 conv, params["edges"][k], stats["edges"][k], h, ops[e],
-                train, cf=cf
+                train, cf=cf, halves=halves
             )
             acc = out if acc is None else acc + out
         offset += len(states)
@@ -203,18 +206,19 @@ def init_supernet(key):
     return params, stats
 
 
-def _fea_forward(params, stats, x, ops, train, new_stats):
+def _fea_forward(params, stats, x, ops, train, new_stats, halves=1):
     ns = new_stats["fea"]
 
     def conv(name, h):
         out, ns[name] = apply_convbr(_FEA_STEMS.get(name) or _FEA_LAST[name],
-                                     params["fea"][name], stats["fea"][name], h, train)
+                                     params["fea"][name], stats["fea"][name],
+                                     h, train, halves=halves)
         return out
 
     def cell(i, s0, s1):
         out, ns[f"cell{i}"] = apply_supercell(
             _FEA_CELLS[i], params["fea"][f"cell{i}"], stats["fea"][f"cell{i}"],
-            s0, s1, ops, train)
+            s0, s1, ops, train, halves=halves)
         return out
 
     stem0 = conv("stem0", x)
@@ -290,9 +294,15 @@ def supernet_forward(params, stats, left, right, fea_ops, mat_ops,
     from rag_tpu.ops.precision import cast_in
 
     new_stats: Dict[str, Any] = {"fea": {}, "mat": {}}
-    x = _fea_forward(params, stats, left, fea_ops, train, new_stats)
-    mid = {"fea": {**stats["fea"], **new_stats["fea"]}, "mat": stats["mat"]}
-    y = _fea_forward(params, mid, right, fea_ops, train, new_stats)
+    # left+right feature extraction as ONE stacked batch: train-mode BN
+    # uses per-half statistics + two sequential EMA updates (batch_norm
+    # halves=2) — exactly the reference's sequential two passes
+    # (mdenas_basicmodel.py:79-80) at half the dispatch
+    both = jnp.concatenate([left, right], axis=0)
+    f = _fea_forward(params, stats, both, fea_ops, train, new_stats,
+                     halves=2)
+    bsz = left.shape[0]
+    x, y = f[:bsz], f[bsz:]
     # mixed-precision boundary: the matching half rides bf16-at-rest when
     # enabled (same policy as the deployed model, rag_tpu.ops.precision)
     x, y = cast_in(x), cast_in(y)

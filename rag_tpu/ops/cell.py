@@ -118,14 +118,16 @@ def _edge_groups(gene: Gene):
     return groups
 
 
-def _merged_convbr(spec_one: ConvBRSpec, params, stats, edges, x, train):
+def _merged_convbr(spec_one: ConvBRSpec, params, stats, edges, x, train,
+                   halves: int = 1):
     """Run several same-input ConvBR blocks as ONE conv with concatenated
     output channels (exactly equivalent: conv/BN/ReLU are all per-output-
     channel). Returns ({edge: out}, {edge: new_stats})."""
     c = spec_one.cout
     if len(edges) == 1:
         k = str(edges[0])
-        out, ns = apply_convbr(spec_one, params[k], stats[k], x, train)
+        out, ns = apply_convbr(spec_one, params[k], stats[k], x, train,
+                               halves=halves)
         return {edges[0]: out}, {k: ns}
     merged_spec = ConvBRSpec(spec_one.ndim, spec_one.cin, c * len(edges),
                              spec_one.kernel, spec_one.stride,
@@ -140,7 +142,7 @@ def _merged_convbr(spec_one: ConvBRSpec, params, stats, edges, x, train):
         "mean": jax.numpy.concatenate([stats[k]["mean"] for k in keys]),
         "var": jax.numpy.concatenate([stats[k]["var"] for k in keys]),
     }
-    out, ns = apply_convbr(merged_spec, mp, ms, x, train)
+    out, ns = apply_convbr(merged_spec, mp, ms, x, train, halves=halves)
     outs, new_stats = {}, {}
     for i, (e, k) in enumerate(zip(edges, keys)):
         outs[e] = out[..., i * c:(i + 1) * c]
@@ -149,7 +151,8 @@ def _merged_convbr(spec_one: ConvBRSpec, params, stats, edges, x, train):
     return outs, new_stats
 
 
-def apply_cell(spec: CellSpec, params, stats, s0, s1, train: bool):
+def apply_cell(spec: CellSpec, params, stats, s0, s1, train: bool,
+               halves: int = 1):
     """Run the cell DAG. Returns (concat_out, new_stats).
 
     Conv edges sharing an input state are merged into single wide convs
@@ -171,9 +174,9 @@ def apply_cell(spec: CellSpec, params, stats, s0, s1, train: bool):
 
     if spec.c_pp != spec.c_out:
         pre_spec = ConvBRSpec(ndim, spec.c_pp, spec.c_out, 1)
-        s0, new_stats["pre"] = apply_convbr(pre_spec, params["pre"], stats["pre"], s0, train)
+        s0, new_stats["pre"] = apply_convbr(pre_spec, params["pre"], stats["pre"], s0, train, halves=halves)
     prep_spec = ConvBRSpec(ndim, spec.c_p, spec.c_out, 1)
-    s1, new_stats["prep"] = apply_convbr(prep_spec, params["prep"], stats["prep"], s1, train)
+    s1, new_stats["prep"] = apply_convbr(prep_spec, params["prep"], stats["prep"], s1, train, halves=halves)
 
     conv_spec = ConvBRSpec(ndim, spec.c_out, spec.c_out, 3)
     groups = _edge_groups(spec.gene)
@@ -183,7 +186,7 @@ def apply_cell(spec: CellSpec, params, stats, s0, s1, train: bool):
         if state_idx not in groups:
             return
         outs, ns = _merged_convbr(conv_spec, params["ops"], stats["ops"],
-                                  groups[state_idx], x, train)
+                                  groups[state_idx], x, train, halves=halves)
         conv_out.update(outs)
         new_stats["ops"].update(ns)
 

@@ -111,17 +111,43 @@ def _conv(x, w, spec: ConvBRSpec):
     return y.astype(x.dtype)
 
 
-def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
+def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM,
+               halves: int = 1):
     """Channels-last batch norm with torch BatchNorm semantics.
 
     Train mode: normalize by (biased) batch stats; update running stats with
     the unbiased batch variance. Eval mode: normalize by running stats.
 
+    halves > 1 (train mode only): the leading batch axis is ``halves``
+    independent passes stacked together (left/right feature extraction run
+    as ONE batch). Each half normalizes by ITS OWN batch statistics and the
+    running stats take ``halves`` sequential EMA updates in stacking order —
+    exactly the reference's two sequential BN passes (rag_model.py:372-373),
+    computed from a single stacked conv.
+
     Stats and normalization math run in f32 regardless of the activation
     dtype (bf16 batch statistics drift); the output keeps x's dtype.
     """
-    axes = tuple(range(x.ndim - 1))
     xf = x.astype(jnp.float32)
+    if train and halves > 1:
+        c = x.shape[-1]
+        xh = xf.reshape((halves, x.shape[0] // halves) + x.shape[1:])
+        axes_h = tuple(range(1, xh.ndim - 1))
+        mean_h = jnp.mean(xh, axis=axes_h)                       # (halves, C)
+        var_h = jnp.mean(jnp.square(xh), axis=axes_h) - jnp.square(mean_h)
+        n = x.size // (halves * c)
+        unbiased_h = var_h * (n / max(n - 1, 1))
+        m, v = stats["mean"], stats["var"]
+        for i in range(halves):  # the reference's sequential EMA order
+            m = (1 - momentum) * m + momentum * mean_h[i]
+            v = (1 - momentum) * v + momentum * unbiased_h[i]
+        new_stats = {"mean": m, "var": v}
+        bshape = (halves,) + (1,) * (xh.ndim - 2) + (c,)
+        inv = jax.lax.rsqrt(var_h + BN_EPS).reshape(bshape)
+        y = ((xh - mean_h.reshape(bshape)) * (inv * params["scale"])
+             + params["bias"])
+        return y.reshape(x.shape).astype(x.dtype), new_stats
+    axes = tuple(range(x.ndim - 1))
     if train:
         mean = jnp.mean(xf, axis=axes)
         var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
@@ -139,7 +165,8 @@ def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
     return y.astype(x.dtype), new_stats
 
 
-def apply_convbr(spec: ConvBRSpec, params, stats, x, train: bool):
+def apply_convbr(spec: ConvBRSpec, params, stats, x, train: bool,
+                 halves: int = 1):
     """Apply conv -> BN -> ReLU (channels-last). Returns (y, new_stats).
 
     NOTE: the Pallas conv3d kernel is NOT routed here — wrapping it with
@@ -148,7 +175,7 @@ def apply_convbr(spec: ConvBRSpec, params, stats, x, train: bool):
     run_matching_cf) where the whole matching net stays in its layout."""
     y = _conv(x, params["w"], spec)
     if spec.bn:
-        y, stats = batch_norm(y, params, stats, train)
+        y, stats = batch_norm(y, params, stats, train, halves=halves)
     if spec.relu:
         y = jax.nn.relu(y)
     return y, stats
