@@ -20,10 +20,18 @@ Extra modes (round 2):
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# Production config: bf16-at-rest mixed precision (volume-sized matching
+# activations stored bf16; every accumulation, params, BN stats and the
+# disparity head stay f32 — rag_tpu/ops/precision.py; parity vs f32 pinned
+# in tests/test_bf16.py). Set RAG_TPU_COMPUTE_DTYPE=float32 to measure
+# the reference-semantics f32 path (see BASELINE.md for both numbers).
+os.environ.setdefault("RAG_TPU_COMPUTE_DTYPE", "bfloat16")
 
 import jax
 import jax.numpy as jnp
