@@ -199,10 +199,11 @@ def _cvstem_wiring_ok(x_nhwc, spec) -> bool:
 
     if os.environ.get("RAG_TPU_CVSTEM", "1") != "1":
         return False
-    from rag_tpu.ops.pallas_cvstem import cvstem_vmem_ok
+    from rag_tpu.ops.pallas_cvstem import cvstem_v3_ok, cvstem_vmem_ok
 
     b, h, w, c = x_nhwc.shape
-    return cvstem_vmem_ok(b, c, h, w, spec.cout)
+    return (cvstem_vmem_ok(b, c, h, w, spec.cout)
+            or cvstem_v3_ok(b, c, h, w, spec.cout))
 
 
 def run_matching_cf(specs, params, stats, cost, train_sites, new_stats,

@@ -179,6 +179,118 @@ def cvstem_vmem_ok(b: int, c: int, h: int, w: int, cout: int) -> bool:
     return byts <= 12 * 1024 * 1024 and h % 8 == 0
 
 
+# -- v3: H-tiled grid for large (eval) geometries ---------------------------
+
+_HB3 = 8  # H-tile rows per grid step (v3)
+
+
+def _cvstem_kernel_v3(x_hbm, y_hbm, wk_ref, scale_ref, bias_ref, out_ref,
+                      xwin, ywin, patches, sems, *, hb: int, w: int, c: int,
+                      cout: int, num_disp: int, relu: bool):
+    b = pl.program_id(0)
+    ih = pl.program_id(1)
+    d = pl.program_id(2)  # fastest: the feature windows DMA'd at d == 0
+    #                       persist in scratch across all D for this tile
+    wk = _wk_of(w)
+    win = hb + 8
+    c2 = 2 * c
+    cpad = _cpad_of(cout)
+
+    @pl.when(d == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(ih * hb, win), :], xwin, sems.at[0]).start()
+        pltpu.make_async_copy(
+            y_hbm.at[b, :, pl.ds(ih * hb, win), :], ywin, sems.at[1]).start()
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(ih * hb, win), :], xwin, sems.at[0]).wait()
+        pltpu.make_async_copy(
+            y_hbm.at[b, :, pl.ds(ih * hb, win), :], ywin, sems.at[1]).wait()
+
+    xw = xwin[...].astype(jnp.float32)
+    yw = ywin[...].astype(jnp.float32)
+    t = 0
+    for dd in range(3):
+        xp_, yp_ = _masked_slabs(xw, yw, d, dd, w, num_disp)
+        for dh in range(3):
+            patches[t * c2:t * c2 + c, :] = \
+                xp_[:, dh:dh + hb, :].reshape(c, hb * wk)
+            patches[t * c2 + c:(t + 1) * c2, :] = \
+                yp_[:, dh:dh + hb, :].reshape(c, hb * wk)
+            t += 1
+    z = jax.lax.dot_general(                     # (3*cpad, hb*wk)
+        wk_ref[:], patches[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y3 = None
+    for dw in range(3):
+        z3 = _shift_w(
+            z[dw * cpad:dw * cpad + cpad].reshape(cpad, hb, wk), dw, w)
+        y3 = z3 if y3 is None else y3 + z3
+    y3 = y3 * scale_ref[:, 0][:, None, None] + bias_ref[:, 0][:, None, None]
+    if relu:
+        y3 = jnp.maximum(y3, 0.0)
+    out_ref[0, 0] = y3[:cout, :, :w].astype(out_ref.dtype)
+
+
+def cvstem_forward_cf_v3(x_cf, y_cf, wk, scale, bias, num_disp: int,
+                         relu: bool = False, interpret: bool = False):
+    """H-tiled variant of cvstem_forward_cf for geometries whose full-H
+    feature blocks exceed VMEM (the 480x960 eval pad). Features stay in
+    HBM; each (b, h-tile) DMAs its haloed row window ONCE into persistent
+    scratch and revisits it across all D grid steps, so total input
+    traffic stays ~2 feature maps (vs materializing the volume + 3x-reading
+    it in the conv)."""
+    b, c, h, w = x_cf.shape
+    cout = scale.shape[0]
+    cpad = _cpad_of(cout)
+    scale = jnp.pad(scale, (0, cpad - cout))
+    bias = jnp.pad(bias, (0, cpad - cout))
+    hb = _HB3
+    assert h % hb == 0, (h, hb)
+    wkl = _wk_of(w)
+    h_pad3 = h + 16  # 1 top halo + bottom halo + window slack
+    pad_feat = lambda f: jnp.pad(
+        f, ((0, 0), (0, 0), (1, h_pad3 - h - 1), (0, wkl - w)))
+
+    kernel = functools.partial(_cvstem_kernel_v3, hb=hb, w=w, c=c, cout=cout,
+                               num_disp=num_disp, relu=relu)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // hb, num_disp),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # y (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale (cpad, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cout, hb, w), lambda bb, ih, dd: (bb, dd, 0, ih, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_disp, cout, h, w),
+                                       x_cf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, hb + 8, wkl), x_cf.dtype),
+            pltpu.VMEM((c, hb + 8, wkl), x_cf.dtype),
+            pltpu.VMEM((9 * 2 * c, hb * wkl), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pad_feat(x_cf), pad_feat(y_cf), wk,
+      scale.reshape(-1, 1), bias.reshape(-1, 1))
+
+
+def cvstem_v3_ok(b: int, c: int, h: int, w: int, cout: int) -> bool:
+    """Whether the H-tiled (v3) fused kernel fits + applies."""
+    hb = _HB3
+    wkl = _wk_of(w)
+    byts = (2 * c * (hb + 8) * wkl           # x + y persistent windows
+            + 9 * 2 * c * hb * wkl           # patches
+            + 3 * _cpad_of(cout) * hb * wkl  # z
+            + 2 * cout * hb * w) * 4         # output block, double-buffered
+    return h % hb == 0 and byts <= 12 * 1024 * 1024
+
+
 # -- backward: dX / dY ------------------------------------------------------
 
 
@@ -408,6 +520,22 @@ def _use_kernel(x_cf, cout: int) -> bool:
     return (_on_tpu() and cvstem_vmem_ok(b, c, h, w, cout))
 
 
+def _use_kernel_v3(x_cf, cout: int) -> bool:
+    """The H-tiled forward engages where the full-H (v2) kernel can't fit
+    (eval geometry). The backward kernels keep the v2-only gate — at these
+    geometries gradients fall back to the XLA vjp (nothing trains at the
+    eval pad; the guard is for completeness)."""
+    import os
+
+    from rag_tpu.ops.pallas_conv3d import _on_tpu
+
+    if os.environ.get("RAG_TPU_CVSTEM", "1") != "1":
+        return False
+    b, c, h, w = x_cf.shape
+    return (_on_tpu() and not cvstem_vmem_ok(b, c, h, w, cout)
+            and cvstem_v3_ok(b, c, h, w, cout))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def cvstem_conv(x_cf, y_cf, w3, num_disp):
     """conv3d(cost_volume(x, y, D), w3) without materializing the volume.
@@ -418,10 +546,12 @@ def cvstem_conv(x_cf, y_cf, w3, num_disp):
     from rag_tpu.ops.pallas_conv3d import pack_weights
 
     cout = w3.shape[-1]
-    if _use_kernel(x_cf, cout):
+    if _use_kernel(x_cf, cout) or _use_kernel_v3(x_cf, cout):
         from rag_tpu.ops.pallas_conv3d import _interp_forced
 
-        return cvstem_forward_cf(
+        fwd = (cvstem_forward_cf if _use_kernel(x_cf, cout)
+               else cvstem_forward_cf_v3)
+        return fwd(
             x_cf, y_cf, pack_weights(w3),
             jnp.ones((cout,), jnp.float32),
             jnp.zeros((cout,), jnp.float32), num_disp, relu=False,
@@ -466,12 +596,13 @@ def cvstem_brc(x_cf, y_cf, w3, scale, bias, num_disp, relu=True):
     from rag_tpu.ops.pallas_conv3d import pack_weights
 
     cout = w3.shape[-1]
-    if _use_kernel(x_cf, cout):
+    if _use_kernel(x_cf, cout) or _use_kernel_v3(x_cf, cout):
         from rag_tpu.ops.pallas_conv3d import _interp_forced
 
-        return cvstem_forward_cf(x_cf, y_cf, pack_weights(w3), scale, bias,
-                                 num_disp, relu=relu,
-                                 interpret=_interp_forced())
+        fwd = (cvstem_forward_cf if _use_kernel(x_cf, cout)
+               else cvstem_forward_cf_v3)
+        return fwd(x_cf, y_cf, pack_weights(w3), scale, bias,
+                   num_disp, relu=relu, interpret=_interp_forced())
     z = _xla_cvstem(x_cf, y_cf, w3, num_disp).astype(jnp.float32)
     z = z * scale.reshape(1, 1, -1, 1, 1) + bias.reshape(1, 1, -1, 1, 1)
     z = jnp.maximum(z, 0.0) if relu else z

@@ -111,3 +111,31 @@ def test_dw_shared_padded_dz_parity():
     b = cvstem_dw_pallas(x, y, dz, 6, interpret=True, zp=_pad_dz(dz))
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-5, atol=1e-5)
+
+
+V3_SHAPES = [
+    (1, 3, 16, 12, 5, 4),    # 2 H-tiles
+    (2, 2, 24, 10, 4, 3),    # 3 H-tiles, batch 2
+    (1, 2, 32, 130, 6, 5),   # lane-padded W
+    (1, 1, 8, 8, 8, 2),      # single tile, D == W roll-wrap edge
+]
+
+
+@pytest.mark.parametrize("b,c,h,w,d,co", V3_SHAPES)
+def test_v3_forward_matches_materialized(b, c, h, w, d, co):
+    """H-tiled (manual-DMA) forward == materialized composition, exact on
+    integers — the variant that engages at the 480x960 eval geometry."""
+    from rag_tpu.ops.pallas_cvstem import cvstem_forward_cf_v3
+
+    x, y, w3, rng = _data(b, c, h, w, d, co, b * 13 + w + d)
+    scale = jnp.asarray(rng.integers(-2, 3, co), jnp.float32)
+    bias = jnp.asarray(rng.integers(-2, 3, co), jnp.float32)
+    ref = _xla_conv3d_cf(cost_volume_cf(x, y, d), w3)
+    ref = ref * scale[None, None, :, None, None] \
+        + bias[None, None, :, None, None]
+    ref = jnp.maximum(ref, 0.0)
+    x_cf = jnp.transpose(x, (0, 3, 1, 2))
+    y_cf = jnp.transpose(y, (0, 3, 1, 2))
+    out = cvstem_forward_cf_v3(x_cf, y_cf, pack_weights(w3), scale, bias, d,
+                               relu=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
