@@ -38,6 +38,11 @@ class SelfSupConfig(ExperimentConfig):
     pretrain_epochs: int = 9
     pretrain_batch: int = 8
     pretrain_lr: float = 0.001
+    # src_self op-search deltas: 0.8 weight-train split
+    # (src_self/approaches/rag.py:317) and the ACTIVE 10-batch proxy
+    # validation truncation (:529-530)
+    op_split_frac: float = 0.8
+    op_eval_max_batches: Optional[int] = 10
 
 
 class SelfSupContinualDriver(ContinualDriver):
@@ -89,9 +94,11 @@ class SelfSupContinualDriver(ContinualDriver):
         else:
             self.net.expand(key, t, genotype)
             ckpt = self._stage_ckpt(f"opsearch_t{t}.npz")
-            OpSearch(self.net,
-                     _dc.replace(self.cfg.op, maxdisp=self.cfg.maxdisp),
-                     log=self.log).search(
+            op_cfg = _dc.replace(
+                self.cfg.op, maxdisp=self.cfg.maxdisp,
+                split_frac=self.cfg.op_split_frac,
+                eval_max_batches=self.cfg.op_eval_max_batches)
+            OpSearch(self.net, op_cfg, log=self.log).search(
                 t, self._proxy_for(t, train_data), writer=self.writer,
                 checkpoint_path=ckpt,
                 checkpoint_every=self.stage_checkpoint_every,

@@ -171,12 +171,14 @@ class StereoDataset:
             }
 
 
-def split_half(n: int, seed: Optional[int] = None):
-    """The reference's 50/50 search split (mdenas_search.py:60-72): a RANDOM
-    permutation split via SubsetRandomSampler — first half trains weights,
-    second half scores architectures. seed=None keeps the deterministic
-    first/second-half split (fine for pre-shuffled synthetic data)."""
-    split = int(np.floor(0.5 * n))
+def split_half(n: int, seed: Optional[int] = None, frac: float = 0.5):
+    """The reference's search split (mdenas_search.py:60-72): a RANDOM
+    permutation split via SubsetRandomSampler — first ``frac`` trains
+    weights, the rest scores architectures. 0.5 on the supervised path;
+    the self-supervised op search uses 0.8 (src_self/approaches/rag.py:317).
+    seed=None keeps the deterministic prefix split (fine for pre-shuffled
+    synthetic data)."""
+    split = int(np.floor(frac * n))
     if seed is None:
         return list(range(split)), list(range(split, n))
     perm = np.random.default_rng(seed).permutation(n)

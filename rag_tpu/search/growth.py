@@ -67,6 +67,10 @@ class OpSearchConfig:
     # variant's active `if step > 10: break` proxy validation,
     # src_self/approaches/rag.py:529-530); None = full split
     eval_max_batches: Optional[int] = None
+    # weight-train fraction of the search split: 0.5 on the supervised
+    # path (rag.py:250-266), 0.8 on the self-supervised proxy search
+    # (src_self/approaches/rag.py:317)
+    split_frac: float = 0.5
 
 
 def _stereo_steps(specs, trainable, optimizer, maxdisp):
@@ -231,7 +235,8 @@ class OpSearch:
         assert net.p is not None and net.new_models is not None
         rng = np.random.default_rng(cfg.seed + 9999 * t)
         train_idx, valid_idx = split_half(len(train_data),
-                                          seed=cfg.seed + 9999 * t)
+                                          seed=cfg.seed + 9999 * t,
+                                          frac=cfg.split_frac)
 
         # h_e with the o_size reuse head-start; h_a zero.
         h_e = [np.zeros(len(p), np.int64) for p in net.p]
