@@ -16,6 +16,7 @@ Extra modes (round 2):
   --roofline   per-stage ms + analytic GFLOPs/MB + MFU / %HBM-peak table
   --eval       serving latency at the 480x960 eval geometry
   --io         native C++ vs PIL decode throughput (images/s)
+  --search     MdeNAS cell-search step latency (canonical config)
   --scaling    dp weak-scaling table over the available devices
 """
 
@@ -187,6 +188,42 @@ def eval_latency():
     }))
 
 
+def search_step():
+    """MdeNAS cell-search train step (canonical c_batch 8, 384x192) — the
+    supernet is ONE compiled executable with lax.cond op switching."""
+    from rag_tpu.search.mdenas import CellSearch, CellSearchConfig
+
+    dev = jax.devices()[0]
+    cpus = jax.devices("cpu") if any(
+        d.platform == "cpu" for d in jax.local_devices()) else None
+    with jax.default_device(cpus[0] if cpus else dev):
+        cs = CellSearch(CellSearchConfig(), log=None)
+    params = jax.device_put(cs.params, dev)
+    stats = jax.device_put(cs.stats, dev)
+    opt_state = jax.device_put(cs.opt_state, dev)
+    rng = np.random.default_rng(0)
+    b, h, w = 8, 192, 384
+    put = lambda x: jax.device_put(jnp.asarray(x, jnp.float32), dev)
+    left = put(rng.standard_normal((b, h, w, 3)))
+    right = put(rng.standard_normal((b, h, w, 3)))
+    gt = put(rng.uniform(1, 180, (b, h, w)))
+    fea = jnp.asarray(np.array([1, 0, 1, 1, 0, 1, 1, 0, 1]))
+    mat = jnp.asarray(np.array([0, 1, 1, 0, 1, 0, 1, 1, 0]))
+    state = [params, stats, opt_state]
+
+    def once():
+        state[0], state[1], state[2], sc = cs._train_step(
+            state[0], state[1], state[2], 2e-3, left, right, gt, fea, mat)
+        return sc
+
+    t = _time_fn(once, lambda sc: float(sc["loss"]), iters=10)
+    print(json.dumps({
+        "metric": "cell_search_step_ms", "value": round(1e3 * t, 1),
+        "unit": "ms @ batch 8, 384x192",
+        "vs_baseline": round(1.186 / t, 2),  # round-1 XLA start 1186 ms
+    }))
+
+
 def io_bench():
     """Native C++ loader vs the PIL path: images/s (VERDICT missing #7)."""
     import os
@@ -292,6 +329,8 @@ if __name__ == "__main__":
         roofline()
     elif mode == "--eval":
         eval_latency()
+    elif mode == "--search":
+        search_step()
     elif mode == "--io":
         io_bench()
     elif mode == "--scaling":

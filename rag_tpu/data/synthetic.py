@@ -14,13 +14,47 @@ from typing import Dict, Iterator
 import numpy as np
 
 
+# Per-scene appearance styles — the synthetic analogue of the reference's
+# 4 weather domains (cloudy/foggy/rainy/sunny differ in APPEARANCE, not
+# scene geometry; src/run.py:155-158). fog blends toward a gray veil,
+# noise is per-view sensor speckle (breaks exact photometric match like
+# rain does), brightness/contrast are shared affine shifts.
+WEATHER_STYLES = (
+    {},                                                  # cloudy (clean)
+    {"fog": 0.45, "contrast": 0.75},                     # foggy
+    {"noise": 0.25, "contrast": 0.9, "brightness": -0.1},  # rainy
+    {"brightness": 0.35, "contrast": 1.3},               # sunny
+)
+
+
+def _apply_style(rng, left, right, style):
+    c = float(style.get("contrast", 1.0))
+    b = float(style.get("brightness", 0.0))
+    fog = float(style.get("fog", 0.0))
+    noise = float(style.get("noise", 0.0))
+    out = []
+    for img in (left, right):
+        img = img * c + b
+        if fog:
+            img = img * (1.0 - fog) + fog * 0.5
+        if noise:
+            img = img + noise * rng.standard_normal(img.shape).astype(
+                np.float32)
+        out.append(img.astype(np.float32))
+    return out
+
+
 def synthetic_stereo_batch(rng: np.random.Generator, batch: int, h: int, w: int,
-                           max_disp: float = 48.0) -> Dict[str, np.ndarray]:
+                           max_disp: float = 48.0,
+                           style: Dict = None) -> Dict[str, np.ndarray]:
     """Returns NHWC left/right and (B,H,W) disparity, float32.
 
     Left = random smooth-ish dot texture; disparity = blocky field in
     [4, max_disp]; right[x] = left[x - (-d)]... i.e. right view shifts
     content LEFT by d so that left[j] == right[j - d].
+
+    style: optional appearance transform (see WEATHER_STYLES) applied to
+    both views AFTER warping — domain shift without geometry change.
     """
     # random texture with some low-frequency structure (vectorized "same"
     # box filter via cumsum — apply_along_axis/convolve was minutes-slow at
@@ -54,18 +88,22 @@ def synthetic_stereo_batch(rng: np.random.Generator, batch: int, h: int, w: int,
     right = tex[bi, hi, j0] * (1 - frac) + tex[bi, hi, j1] * frac
     valid = (src <= w - 1)
     disp = np.where(valid, disp, 0.0).astype(np.float32)  # gt=0 -> masked out
-    return {"left": tex, "right": right.astype(np.float32), "disparity": disp}
+    right = right.astype(np.float32)
+    if style:
+        tex, right = _apply_style(rng, tex, right, style)
+    return {"left": tex, "right": right, "disparity": disp}
 
 
 class SyntheticStereoDataset:
     """Iterable dataset facade matching StereoDataset.batches."""
 
     def __init__(self, num_samples: int, h: int, w: int, seed: int = 0,
-                 max_disp: float = 48.0):
+                 max_disp: float = 48.0, style: Dict = None):
         self.num_samples = num_samples
         self.h, self.w = h, w
         self.seed = seed
         self.max_disp = max_disp
+        self.style = style
 
     def __len__(self):
         return self.num_samples
@@ -76,8 +114,8 @@ class SyntheticStereoDataset:
         rng = np.random.default_rng(self.seed + seed)
         for _ in range(n // batch_size):
             yield synthetic_stereo_batch(rng, batch_size, self.h, self.w,
-                                         self.max_disp)
+                                         self.max_disp, style=self.style)
         rem = n % batch_size
         if rem and not drop_last:
             yield synthetic_stereo_batch(rng, rem, self.h, self.w,
-                                         self.max_disp)
+                                         self.max_disp, style=self.style)

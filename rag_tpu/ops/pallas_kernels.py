@@ -15,9 +15,11 @@ matrices, and reduces softmin+expectation in VMEM, writing only the final
 (3h, 3w) disparity tile. HBM traffic drops from O(maxdisp * 9hw) to
 O(D * hw + 9hw).
 
-The op is exposed with a custom VJP whose backward pass is the exact
-analytic gradient evaluated with the same interpolation matrices in plain
-XLA (correct everywhere; a fused backward kernel is future work).
+The op is exposed with a custom VJP. On TPU the backward is a fused
+Pallas kernel (_disp_bwd_kernel: recompute softmin + the analytic
+d(out)/d(y_k) = -p_k (k - out) chain in VMEM, contracted back through the
+transposed interpolation matrices); elsewhere the same analytic gradient
+runs in plain XLA.
 """
 
 from __future__ import annotations

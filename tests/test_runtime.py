@@ -125,3 +125,34 @@ class TestNativeLoader:
         expected = normalize_imagenet(read_image(l))
         np.testing.assert_allclose(b["left"][0], expected, atol=1e-5)
         loader.close()
+
+
+class TestWeatherStyles:
+    """Per-scene appearance domains for synthetic scenes (the analogue of
+    the reference's 4 weather conditions: appearance shift, identical
+    geometry distribution)."""
+
+    def test_styles_shift_appearance_not_geometry(self):
+        import numpy as np
+
+        from rag_tpu.data.synthetic import (WEATHER_STYLES,
+                                            synthetic_stereo_batch)
+
+        rngs = [np.random.default_rng(0) for _ in WEATHER_STYLES]
+        batches = [synthetic_stereo_batch(r, 2, 24, 48, 32.0, style=st)
+                   for r, st in zip(rngs, WEATHER_STYLES)]
+        # same generator state + same geometry params -> identical
+        # disparity fields across scenes
+        for b in batches[1:]:
+            np.testing.assert_array_equal(b["disparity"],
+                                          batches[0]["disparity"])
+        # appearance statistics differ scene to scene
+        means = [float(b["left"].mean()) for b in batches]
+        stds = [float(b["left"].std()) for b in batches]
+        assert len({round(m, 2) for m in means}) > 1
+        assert len({round(s, 2) for s in stds}) > 1
+        # foggy scene is lower-contrast than clean
+        assert stds[1] < stds[0]
+        # rainy breaks exact left/right photometric consistency
+        d = batches[2]
+        assert float(np.abs(d["left"] - batches[0]["left"]).mean()) > 0.01
