@@ -304,7 +304,8 @@ class ContinualDriver:
         specs, params, stats = net.path(arch)
         key = tuple(sorted((k, s) for k, s in specs.items()))
         if key not in self._eval_cache:
-            self._eval_cache[key] = make_eval_step(specs)
+            self._eval_cache[key] = make_eval_step(specs,
+                                                   maxdisp=self.cfg.maxdisp)
         eval_step = self._eval_cache[key]
         m = AverageMeterDict()
         for b in test_data.batches(batch, False, seed=0, drop_last=False):

@@ -25,16 +25,18 @@ class RoutedInference:
     """Per-frame path selection + disparity prediction/evaluation."""
 
     def __init__(self, net: GrowableStereoNet,
-                 router: Optional[SceneRouter] = None):
+                 router: Optional[SceneRouter] = None,
+                 maxdisp: int = 192):
         self.net = net
         self.router = router
+        self.maxdisp = maxdisp
         self._steps: Dict = {}
         self._fwd: Dict = {}
 
     def _eval_step(self, t: int):
         if t not in self._steps:
             specs, _, _ = self.net.path(self.net.archis[t])
-            self._steps[t] = make_eval_step(specs)
+            self._steps[t] = make_eval_step(specs, maxdisp=self.maxdisp)
         return self._steps[t]
 
     def _forward(self, t: int):
@@ -45,10 +47,12 @@ class RoutedInference:
 
             specs, _, _ = self.net.path(self.net.archis[t])
 
+            md = self.maxdisp
+
             @jax.jit
             def fwd(params, stats, left, right):
                 disp, _ = stereo_forward(specs, params, stats, left, right,
-                                         fused_head=True)
+                                         fused_head=True, maxdisp=md)
                 return disp
 
             self._fwd[t] = fwd

@@ -121,7 +121,8 @@ class SelfSupContinualDriver(ContinualDriver):
         trainable = net.trainable_sites(t)
         specs, params, stats = net.path(arch)
         optimizer = make_optimizer(cfg.train.weight_decay, cfg.train.grad_clip)
-        step = make_train_step(specs, trainable, optimizer)
+        step = make_train_step(specs, trainable, optimizer,
+                               maxdisp=self.cfg.maxdisp)
         opt_state = optimizer.init(params)
         for epoch in range(cfg.pretrain_epochs):
             lr = cosine_lr(cfg.pretrain_lr, cfg.pretrain_epochs, epoch)
@@ -142,8 +143,9 @@ class SelfSupContinualDriver(ContinualDriver):
         trainable = net.trainable_sites(t)
         specs, params, stats = net.path(arch)
         optimizer = make_optimizer(cfg.weight_decay, cfg.grad_clip)
-        step = make_selfsup_train_step(specs, trainable, optimizer)
-        eval_step = make_eval_step(specs)
+        step = make_selfsup_train_step(specs, trainable, optimizer,
+                                       maxdisp=self.cfg.maxdisp)
+        eval_step = make_eval_step(specs, maxdisp=self.cfg.maxdisp)
         opt_state = optimizer.init(params)
 
         best_loss, best = np.inf, (params, stats)
