@@ -82,9 +82,11 @@ def _time_fn(fn, fence, iters=10, warmup=2):
     return (time.time() - t0) / iters
 
 
-def roofline():
+def roofline(b=4, h=192, w=384, train=True):
     """Per-stage timing vs analytic cost: the external yardstick the
-    round-1 perf claims lacked."""
+    round-1 perf claims lacked. Optional argv geometry:
+    `bench.py --roofline [B H W [--no-train]]` (e.g. 1 480 960 for the
+    serving geometry)."""
     from rag_tpu.models.stereo import (
         MAXDISP,
         extract_feature,
@@ -95,8 +97,6 @@ def roofline():
     from rag_tpu.ops.pallas_kernels import soft_argmin_disparity_fused
     from rag_tpu.train.trainer import make_optimizer, make_train_step
     from rag_tpu.utils.flops import pipeline_costs, summarize, total
-
-    b, h, w = 4, 192, 384
     specs, params, stats, left, right, gt = _flagship(b, h, w)
     bn = frozenset()
 
@@ -139,26 +139,27 @@ def roofline():
     times["total_forward"] = _time_fn(
         lambda: full_fwd(params, stats, left, right), fence_sum)
 
-    optimizer = make_optimizer(0.003, 5.0)
-    opt_state = optimizer.init(params)
-    step = make_train_step(specs, frozenset(specs), optimizer)
-    state = [params, stats, opt_state]
-
-    def train_once():
-        state[0], state[1], state[2], sc = step(
-            state[0], state[1], state[2], 1e-3, left, right, gt)
-        return sc
-
-    times["train_step"] = _time_fn(train_once,
-                                   lambda sc: float(sc["loss"]), iters=10)
-
     stages = pipeline_costs(b, h, w)
     stages.append(total(stages))
     tf = [s for s in stages if s.name == "total_forward"][0]
-    # train step ~ fwd + 2x bwd of the matmul FLOPs
-    from rag_tpu.utils.flops import StageCost
+    if train:
+        optimizer = make_optimizer(0.003, 5.0)
+        opt_state = optimizer.init(params)
+        step = make_train_step(specs, frozenset(specs), optimizer)
+        state = [params, stats, opt_state]
 
-    stages.append(StageCost("train_step", 3 * tf.flops, 3 * tf.bytes_moved))
+        def train_once():
+            state[0], state[1], state[2], sc = step(
+                state[0], state[1], state[2], 1e-3, left, right, gt)
+            return sc
+
+        times["train_step"] = _time_fn(train_once,
+                                       lambda sc: float(sc["loss"]), iters=10)
+        # train step ~ fwd + 2x bwd of the matmul FLOPs
+        from rag_tpu.utils.flops import StageCost
+
+        stages.append(StageCost("train_step", 3 * tf.flops,
+                                3 * tf.bytes_moved))
     rows = summarize(stages, times)
     for r in rows:
         ms = f"{r['ms']:8.2f} ms" if "ms" in r else "      n/a"
@@ -166,13 +167,14 @@ def roofline():
         bw = f"{r.get('hbm_pct', 0):6.1f}% HBM" if "ms" in r else ""
         print(f"{r['stage']:<16} {ms}  {r['gflops']:9.2f} GF "
               f"{r['mbytes']:9.1f} MB  {mfu} {bw}")
-    tr = [r for r in rows if r["stage"] == "train_step"][0]
-    print(json.dumps({
-        "metric": "train_step_mfu", "value": round(tr["mfu_pct"], 2),
-        "unit": "% of v5e bf16 peak",
-        "vs_baseline": round(4 / times["train_step"]
-                             / ROUND1_BASELINE_PAIRS_PER_S, 3),
-    }))
+    if train:
+        tr = [r for r in rows if r["stage"] == "train_step"][0]
+        print(json.dumps({
+            "metric": "train_step_mfu", "value": round(tr["mfu_pct"], 2),
+            "unit": "% of v5e bf16 peak",
+            "vs_baseline": round(b / times["train_step"]
+                                 / ROUND1_BASELINE_PAIRS_PER_S, 3),
+        }))
 
 
 def eval_latency():
@@ -326,7 +328,8 @@ def main():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "--roofline":
-        roofline()
+        geom = [int(a) for a in sys.argv[2:5] if a.isdigit()]
+        roofline(*geom, train="--no-train" not in sys.argv)
     elif mode == "--eval":
         eval_latency()
     elif mode == "--search":

@@ -31,7 +31,9 @@ from rag_tpu.train.trainer import (
 
 
 class SyntheticDepthDataset:
-    """Images with a depth cue (brightness ~ 1/depth) + exact gt depth."""
+    """Fixed, seeded set of images with a depth cue (brightness ~ 1/depth)
+    + exact gt depth. Samples are generated once and epochs re-visit them
+    shuffled — the reference protocol trains on a fixed per-scene set."""
 
     def __init__(self, num_samples: int, h: int, w: int, seed: int = 0,
                  max_depth: float = 60.0):
@@ -39,30 +41,40 @@ class SyntheticDepthDataset:
         self.h, self.w = h, w
         self.seed = seed
         self.max_depth = max_depth
+        self._cache = None
 
     def __len__(self):
         return self.num_samples
 
-    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                indices=None, drop_last: bool = True):
-        n = len(indices) if indices is not None else self.num_samples
-        rng = np.random.default_rng(self.seed + seed)
-        n_batches = n // batch_size
-        if n % batch_size and not drop_last:
-            n_batches += 1  # final short batch kept (same size here: the
-            # data is generated, so we just emit another full batch)
-        for _ in range(n_batches):
+    def _samples(self):
+        if self._cache is None:
+            rng = np.random.default_rng(self.seed)
+            n = self.num_samples
             th, tw = max(self.h // 4, 1), max(self.w // 4, 1)
             tiles = rng.uniform(2.0, self.max_depth,
-                                (batch_size, (self.h + th - 1) // th,
+                                (n, (self.h + th - 1) // th,
                                  (self.w + tw - 1) // tw))
             depth = np.repeat(np.repeat(tiles, th, 1), tw, 2)
             depth = depth[:, :self.h, :self.w].astype(np.float32)
             base = rng.standard_normal(
-                (batch_size, self.h, self.w, 3)).astype(np.float32) * 0.3
+                (n, self.h, self.w, 3)).astype(np.float32) * 0.3
             cue = (1.0 / depth)[..., None] * 10.0
-            image = (base + cue).astype(np.float32)
-            yield {"image": image, "depth": depth}
+            self._cache = {"image": (base + cue).astype(np.float32),
+                           "depth": depth}
+        return self._cache
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                indices=None, drop_last: bool = True):
+        data = self._samples()
+        idx = np.asarray(indices if indices is not None
+                         else np.arange(self.num_samples))
+        if shuffle:
+            idx = np.random.default_rng(self.seed + seed).permutation(idx)
+        n = len(idx)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            sel = idx[i:i + batch_size]
+            yield {k: v[sel] for k, v in data.items()}
 
 
 class DepthContinualDriver(ContinualDriver):

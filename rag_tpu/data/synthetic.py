@@ -95,7 +95,13 @@ def synthetic_stereo_batch(rng: np.random.Generator, batch: int, h: int, w: int,
 
 
 class SyntheticStereoDataset:
-    """Iterable dataset facade matching StereoDataset.batches."""
+    """Fixed, seeded set of ``num_samples`` synthetic pairs with the
+    StereoDataset.batches interface.
+
+    The samples are generated ONCE (lazily, from ``seed``) and epochs
+    re-visit them in shuffled order — the reference protocol trains
+    repeatedly on a FIXED per-scene image set (400 pairs,
+    src/filenames/drivingstereo), not on a fresh stream per epoch."""
 
     def __init__(self, num_samples: int, h: int, w: int, seed: int = 0,
                  max_disp: float = 48.0, style: Dict = None):
@@ -104,18 +110,35 @@ class SyntheticStereoDataset:
         self.seed = seed
         self.max_disp = max_disp
         self.style = style
+        self._cache = None
 
     def __len__(self):
         return self.num_samples
 
+    def _samples(self) -> Dict[str, np.ndarray]:
+        if self._cache is None:
+            rng = np.random.default_rng(self.seed)
+            # generate in chunks to bound the working set of the warp
+            chunks = []
+            left, n = 0, self.num_samples
+            while left < n:
+                m = min(16, n - left)
+                chunks.append(synthetic_stereo_batch(
+                    rng, m, self.h, self.w, self.max_disp, style=self.style))
+                left += m
+            self._cache = {k: np.concatenate([c[k] for c in chunks])
+                           for k in chunks[0]}
+        return self._cache
+
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 indices=None, drop_last: bool = True) -> Iterator[Dict]:
-        n = len(indices) if indices is not None else self.num_samples
-        rng = np.random.default_rng(self.seed + seed)
-        for _ in range(n // batch_size):
-            yield synthetic_stereo_batch(rng, batch_size, self.h, self.w,
-                                         self.max_disp, style=self.style)
-        rem = n % batch_size
-        if rem and not drop_last:
-            yield synthetic_stereo_batch(rng, rem, self.h, self.w,
-                                         self.max_disp, style=self.style)
+        data = self._samples()
+        idx = np.asarray(indices if indices is not None
+                         else np.arange(self.num_samples))
+        if shuffle:
+            idx = np.random.default_rng(self.seed + seed).permutation(idx)
+        n = len(idx)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            sel = idx[i:i + batch_size]
+            yield {k: v[sel] for k, v in data.items()}
