@@ -71,10 +71,15 @@ def _save_finetune_state(path, params, stats, opt_state, best, best_loss,
                          epoch):
     """Mid-fine-tune snapshot: live + best (params, stats), opt state,
     epoch. Arrays flattened under deterministic leaf indices."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     flat, _ = jax.tree_util.tree_flatten(
         (params, stats, opt_state, best[0], best[1]))
-    np.savez(path, epoch=epoch, best_loss=best_loss,
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, epoch=epoch, best_loss=best_loss,
              **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(flat)})
+    os.replace(tmp, path)
 
 
 def _load_finetune_state(path, template):
@@ -101,7 +106,11 @@ class ContinualDriver:
         self.cfg = config
         self.writer = writer or MetricWriter()
         self.log = log or (lambda *_: None)
-        self.checkpoint_dir = checkpoint_dir
+        # absolute: a cwd change (or any relative-path confusion) mid-run
+        # must not strand the 100-epoch stage checkpoints (round-2
+        # canonical_r2b died writing to a relative stage-ckpt path)
+        self.checkpoint_dir = (os.path.abspath(checkpoint_dir)
+                               if checkpoint_dir else None)
         # mid-STAGE checkpoint cadence (epochs) for the long stages — the
         # reference loses any crash back to the last per-task ckpt
         # (SURVEY.md §5); 0 disables.
@@ -111,9 +120,43 @@ class ContinualDriver:
         self._finetune_stop_after: Optional[int] = None
         self.net: Optional[GrowableStereoNet] = None
         self.router = None  # SceneRouter when cfg.use_router
+        self.router_eval = None  # routed-vs-oracle report (router_report)
         self.matrix = ForgettingMatrix(config.num_tasks,
                                        ("D1", "EPE", "loss", "Thres1"))
         self._eval_cache = {}
+
+    # -- variant hooks (depth/selfsup drivers override these; everything
+    #    else — stage checkpoints, resume, fault injection, eval caching —
+    #    is shared machinery) ----------------------------------------------
+
+    variant = "stereo"
+
+    def _new_net(self, key, genotype):
+        return GrowableStereoNet(key, genotype)
+
+    def _cell_search_cls(self):
+        return CellSearch
+
+    def _ft_steps(self, specs, trainable, optimizer):
+        """(train_step, eval_step) for the fine-tune stage: BN stats update
+        only for the task's own new units (frozen-BN reuse semantics)."""
+        return (make_train_step(specs, trainable, optimizer,
+                                maxdisp=self.cfg.maxdisp),
+                make_eval_step(specs, maxdisp=self.cfg.maxdisp))
+
+    def _eval_step_for(self, specs):
+        return make_eval_step(specs, maxdisp=self.cfg.maxdisp)
+
+    def _batch_args(self, b):
+        return (b["left"], b["right"], b["disparity"])
+
+    def _ft_tag(self) -> str:
+        return "train"
+
+    def _ft_log_line(self, v) -> str:
+        return (f"D1 {100*v.get('D1', 0):.1f}% EPE {v.get('EPE', 0):.3f}"
+                if "D1" in v else
+                f"silog {v.get('silog', 0):.3f} d1 {v.get('d1', 0):.3f}")
 
     # -- stages ------------------------------------------------------------
 
@@ -178,10 +221,11 @@ class ContinualDriver:
                 geno = _geno_from(json.load(f))
             self.log(f"[task {t}] loaded searched genotype from {geno_file}")
             return geno
-        cs = CellSearch(dataclasses.replace(self.cfg.cell,
-                                            seed=self.cfg.cell.seed + t,
-                                            maxdisp=self.cfg.maxdisp),
-                        log=self.log)
+        cs = self._cell_search_cls()(
+            dataclasses.replace(self.cfg.cell,
+                                seed=self.cfg.cell.seed + t,
+                                maxdisp=self.cfg.maxdisp),
+            log=self.log)
         ckpt = self._stage_ckpt(f"cellsearch_t{t}.npz")
         geno = cs.search(train_data, writer=self.writer, task=t,
                          checkpoint_path=ckpt,
@@ -210,14 +254,14 @@ class ContinualDriver:
         genotype = self.search_cell(t, train_data)
         key = jax.random.PRNGKey(self.cfg.seed + 31 * t)
         if t == 0:
-            self.net = GrowableStereoNet(key, genotype)
+            self.net = self._new_net(key, genotype)
         else:
             self.net.expand(key, t, genotype)
             ckpt = self._stage_ckpt(f"opsearch_t{t}.npz")
             OpSearch(self.net,
                      dataclasses.replace(self.cfg.op,
                                          maxdisp=self.cfg.maxdisp),
-                     log=self.log).search(
+                     log=self.log, variant=self.variant).search(
                 t, train_data, writer=self.writer, checkpoint_path=ckpt,
                 checkpoint_every=self.stage_checkpoint_every,
                 resume=bool(ckpt and os.path.exists(ckpt)))
@@ -237,17 +281,19 @@ class ContinualDriver:
         self.fine_tune(t, train_data, valid_data)
 
     def fine_tune(self, t: int, train_data, valid_data):
-        """Stage-3 supervised training of archis[t] (rag.py:107-153)."""
+        """Stage-3 training of archis[t] (rag.py:107-153). Shared across
+        variants through the _ft_* hooks — so stage checkpoints / resume /
+        fault injection exist on EVERY fine-tune path, not just the
+        supervised stereo one."""
         cfg = self.cfg.train
         net = self.net
         arch = net.archis[t]
         trainable = net.trainable_sites(t)
         specs, params, stats = net.path(arch)
         optimizer = make_optimizer(cfg.weight_decay, cfg.grad_clip)
-        train_step = make_train_step(specs, trainable, optimizer,
-                                     maxdisp=self.cfg.maxdisp)
-        eval_step = make_eval_step(specs, maxdisp=self.cfg.maxdisp)
+        train_step, eval_step = self._ft_steps(specs, trainable, optimizer)
         opt_state = optimizer.init(params)
+        tag = self._ft_tag()
 
         best_loss = np.inf
         best = (params, stats)
@@ -256,33 +302,30 @@ class ContinualDriver:
         if ckpt and os.path.exists(ckpt):
             params, stats, opt_state, best, best_loss, start_epoch = \
                 _load_finetune_state(ckpt, (params, stats, opt_state))
-            self.log(f"[train t{t}] resumed at epoch {start_epoch}")
+            self.log(f"[{tag} t{t}] resumed at epoch {start_epoch}")
         for epoch in range(start_epoch, cfg.epochs):
             lr = cosine_lr(cfg.lr, cfg.epochs, epoch)
             for b in train_data.batches(cfg.batch, True, seed=epoch):
                 params, stats, opt_state, _ = train_step(
-                    params, stats, opt_state, lr,
-                    b["left"], b["right"], b["disparity"])
+                    params, stats, opt_state, lr, *self._batch_args(b))
 
             # the reference evaluates BOTH the train and the valid loader
             # each epoch (rag.py:129-131); best-by-valid drives rollback.
             tm = AverageMeterDict()
             for b in train_data.batches(cfg.batch, False, seed=0):
                 tm.update({k: float(v) for k, v in eval_step(
-                    params, stats, b["left"], b["right"], b["disparity"]
-                ).items()})
+                    params, stats, *self._batch_args(b)).items()})
             vm = AverageMeterDict()
             for b in valid_data.batches(cfg.batch, False, seed=0):
                 vm.update({k: float(v) for k, v in eval_step(
-                    params, stats, b["left"], b["right"], b["disparity"]
-                ).items()})
+                    params, stats, *self._batch_args(b)).items()})
             tv, v = tm.mean(), vm.mean()
-            self.log(f"[train t{t}] epoch {epoch} lr {lr:.5f} "
+            self.log(f"[{tag} t{t}] epoch {epoch} lr {lr:.5f} "
                      f"train loss {tv.get('loss', 0):.3f} "
                      f"valid loss {v.get('loss', 0):.3f} "
-                     f"D1 {100*v.get('D1', 0):.1f}% EPE {v.get('EPE', 0):.3f}")
-            self.writer.scalars(f"train/task{t}", v, step=epoch)
-            self.writer.scalars(f"train/task{t}_trainset", tv, step=epoch)
+                     + self._ft_log_line(v))
+            self.writer.scalars(f"{tag}/task{t}", v, step=epoch)
+            self.writer.scalars(f"{tag}/task{t}_trainset", tv, step=epoch)
             if v.get("loss", np.inf) < best_loss:
                 best_loss = v.get("loss", np.inf)
                 best = (params, stats)
@@ -304,13 +347,12 @@ class ContinualDriver:
         specs, params, stats = net.path(arch)
         key = tuple(sorted((k, s) for k, s in specs.items()))
         if key not in self._eval_cache:
-            self._eval_cache[key] = make_eval_step(specs,
-                                                   maxdisp=self.cfg.maxdisp)
+            self._eval_cache[key] = self._eval_step_for(specs)
         eval_step = self._eval_cache[key]
         m = AverageMeterDict()
         for b in test_data.batches(batch, False, seed=0, drop_last=False):
             m.update({k: float(v) for k, v in eval_step(
-                params, stats, b["left"], b["right"], b["disparity"]).items()})
+                params, stats, *self._batch_args(b)).items()})
         return m.mean()
 
     def train_router(self, t: int, train_datasets, test_datasets):
@@ -331,6 +373,47 @@ class ContinualDriver:
         acc = self.router.accuracy(test_datasets[:t + 1])
         self.log(f"[router] after task {t}: scene accuracy {100*acc:.1f}%")
         self.writer.scalars("router", {"accuracy": acc}, step=t)
+
+    def router_report(self, test_datasets) -> Optional[dict]:
+        """Routed-vs-oracle evidence: evaluate every scene's test set (a)
+        with per-frame routed paths and (b) with the ground-truth task path,
+        plus the router confusion matrix. This is the number the paper's
+        Scene-Router claim rests on; the reference's dormant hook
+        (src/models/rag_model.py:369, src/run.py:180) never produced it."""
+        from rag_tpu.continual.inference import RoutedInference
+
+        if self.router is None or self.net is None:
+            return None
+        n = len(self.net.archis)
+        engine = RoutedInference(self.net, self.router,
+                                 maxdisp=self.cfg.maxdisp)
+        confusion = np.zeros((n, n), np.int64)
+        report = {"routed_D1": [], "oracle_D1": [],
+                  "routed_EPE": [], "oracle_EPE": []}
+        for u in range(n):
+            ds = test_datasets[u]
+            for b in ds.batches(1, False, seed=0, drop_last=False):
+                for p in engine.route(b["left"]):
+                    confusion[u, min(int(p), n - 1)] += 1
+            routed = engine.evaluate(ds, task=None)
+            oracle = engine.evaluate(ds, task=u)
+            report["routed_D1"].append(float(routed.get("D1", 0.0)))
+            report["oracle_D1"].append(float(oracle.get("D1", 0.0)))
+            report["routed_EPE"].append(float(routed.get("EPE", 0.0)))
+            report["oracle_EPE"].append(float(oracle.get("EPE", 0.0)))
+        report["confusion"] = confusion.tolist()
+        report["router_accuracy"] = float(np.trace(confusion)
+                                          / max(confusion.sum(), 1))
+        report["routed_minus_oracle_D1"] = float(
+            np.mean(report["routed_D1"]) - np.mean(report["oracle_D1"]))
+        self.log(f"[router] routed-vs-oracle D1 delta "
+                 f"{100*report['routed_minus_oracle_D1']:+.3f}% "
+                 f"(routed {[f'{100*x:.2f}' for x in report['routed_D1']]} "
+                 f"oracle {[f'{100*x:.2f}' for x in report['oracle_D1']]}); "
+                 f"confusion diag {np.diag(confusion).tolist()} of "
+                 f"{confusion.sum(axis=1).tolist()}")
+        self.router_eval = report
+        return report
 
     # -- experiment loop ---------------------------------------------------
 
@@ -398,6 +481,8 @@ class ContinualDriver:
                 if self.router is not None:
                     from rag_tpu.continual.state import save_router
                     save_router(self.checkpoint_dir, self.router)
+        if self.cfg.use_router and self.router is not None:
+            self.router_report(test_datasets)
         hours = (time.time() - tstart) / 3600
         headline = "D1" if "D1" in self.matrix.metric_names else \
             self.matrix.metric_names[-1]

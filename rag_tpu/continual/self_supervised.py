@@ -22,7 +22,6 @@ import numpy as np
 
 from rag_tpu.continual.driver import ContinualDriver, ExperimentConfig
 from rag_tpu.data.transfer import ColorTransferDataset
-from rag_tpu.metrics.meters import AverageMeterDict
 from rag_tpu.search.growth import OpSearch
 from rag_tpu.train.trainer import (
     cosine_lr,
@@ -73,6 +72,29 @@ class SelfSupContinualDriver(ContinualDriver):
         real = np.concatenate(pool, axis=0)
         return ColorTransferDataset(self.proxy_search_data, real)
 
+    # -- variant hooks: the photometric fine-tune inherits the base
+    #    driver's stage-checkpoint/resume/fault-injection machinery
+    #    (round 2 had a parallel fine_tune with none of it — VERDICT #5) --
+
+    def _ft_steps(self, specs, trainable, optimizer):
+        return (make_selfsup_train_step(specs, trainable, optimizer,
+                                        maxdisp=self.cfg.maxdisp),
+                make_eval_step(specs, maxdisp=self.cfg.maxdisp))
+
+    def _ft_tag(self) -> str:
+        return "selfsup"
+
+    def _should_pretrain(self, t: int) -> bool:
+        """Skip the supervised warm-up when a mid-fine-tune checkpoint
+        exists: the fine-tune will resume from checkpointed params, so a
+        re-run pretrain would be wasted compute."""
+        if self.pretrain_data is None:
+            return False
+        import os
+
+        ckpt = self._stage_ckpt(f"finetune_t{t}.npz")
+        return not (ckpt and os.path.exists(ckpt))
+
     def train_task(self, t: int, train_data, valid_data):
         import os
 
@@ -81,7 +103,7 @@ class SelfSupContinualDriver(ContinualDriver):
 
         if self.net is not None and len(self.net.archis) > t:
             self.log(f"[task {t}] resumed post-select; fine-tune only")
-            if self.pretrain_data is not None:
+            if self._should_pretrain(t):
                 self.pretrain(t)
             self.fine_tune(t, train_data, valid_data)
             return
@@ -107,9 +129,15 @@ class SelfSupContinualDriver(ContinualDriver):
                 os.remove(ckpt)
             best = self.net.select(t)
             self.log(f"[task {t}] best_archi = {best}")
+        if self.checkpoint_dir:
+            # mid-task stage checkpoint: a crash during pretrain/fine-tune
+            # resumes here instead of redoing the searches
+            from rag_tpu.continual.state import save_checkpoint
+            save_checkpoint(self.checkpoint_dir, self.net, task=t,
+                            extra=self._ckpt_extra(stage="selected"))
         self.writer.scalars("model_size_m", {"params_m": self.net.size_m()},
                             step=t)
-        if self.pretrain_data is not None:
+        if self._should_pretrain(t):
             self.pretrain(t)
         self.fine_tune(t, train_data, valid_data)
 
@@ -135,36 +163,3 @@ class SelfSupContinualDriver(ContinualDriver):
                      f"loss {float(sc['loss']):.3f}")
         net.write_back(arch, params, stats)
 
-    def fine_tune(self, t: int, train_data, valid_data):
-        """Photometric fine-tune (supervise=False)."""
-        cfg = self.cfg.train
-        net = self.net
-        arch = net.archis[t]
-        trainable = net.trainable_sites(t)
-        specs, params, stats = net.path(arch)
-        optimizer = make_optimizer(cfg.weight_decay, cfg.grad_clip)
-        step = make_selfsup_train_step(specs, trainable, optimizer,
-                                       maxdisp=self.cfg.maxdisp)
-        eval_step = make_eval_step(specs, maxdisp=self.cfg.maxdisp)
-        opt_state = optimizer.init(params)
-
-        best_loss, best = np.inf, (params, stats)
-        for epoch in range(cfg.epochs):
-            lr = cosine_lr(cfg.lr, cfg.epochs, epoch)
-            for b in train_data.batches(cfg.batch, True, seed=epoch):
-                params, stats, opt_state, _ = step(
-                    params, stats, opt_state, lr,
-                    b["left"], b["right"], b["disparity"])
-            vm = AverageMeterDict()
-            for b in valid_data.batches(cfg.batch, False, seed=0):
-                vm.update({k: float(v) for k, v in eval_step(
-                    params, stats, b["left"], b["right"], b["disparity"]
-                ).items()})
-            v = vm.mean()
-            self.log(f"[selfsup t{t}] epoch {epoch} valid "
-                     f"loss {v.get('loss', 0):.3f} D1 {100*v.get('D1', 0):.1f}%")
-            self.writer.scalars(f"selfsup/task{t}", v, step=epoch)
-            if v.get("loss", np.inf) < best_loss:
-                best_loss, best = v.get("loss", np.inf), (params, stats)
-        params, stats = best
-        net.write_back(arch, params, stats)

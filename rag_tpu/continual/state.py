@@ -20,12 +20,7 @@ import jax
 import numpy as np
 
 from rag_tpu.models.growable import GrowableStereoNet, Unit
-from rag_tpu.models.stereo import (
-    HEAD_NAMES,
-    SITE_NAMES,
-    build_head_specs,
-    build_site_specs,
-)
+from rag_tpu.models.stereo import HEAD_NAMES, SITE_NAMES
 from rag_tpu.ops.cell import canonicalize_gene
 from rag_tpu.search.genotype import Genotype
 
@@ -87,9 +82,13 @@ def load_router(directory: str):
 
 def save_checkpoint(directory: str, net: GrowableStereoNet, task: int,
                     extra: Optional[Dict] = None):
+    from rag_tpu.models.growable import GrowableDepthNet
+
     os.makedirs(directory, exist_ok=True)
+    variant = "depth" if isinstance(net, GrowableDepthNet) else "stereo"
     manifest = {
         "task": task,
+        "variant": variant,
         "genotypes": [_geno_json(g) for g in net.genotypes],
         "archis": net.archis,
         "lengths": {s: len(net.units[s]) for s in SITE_NAMES},
@@ -108,6 +107,11 @@ def save_checkpoint(directory: str, net: GrowableStereoNet, task: int,
         for i, u in enumerate(net.heads[h]):
             _flatten(u.params, f"heads/{h}/{i}/params", arrays)
             _flatten(u.stats, f"heads/{h}/{i}/stats", arrays)
+    if variant == "depth":
+        # the task-shared DispHead unit (rag_depth/src/models/
+        # rag_model.py:297-298 — created once, never expanded)
+        _flatten(net.depth_head.params, "depth_head/params", arrays)
+        _flatten(net.depth_head.stats, "depth_head/stats", arrays)
 
     with open(os.path.join(directory, f"manifest_task{task}.json"), "w") as f:
         json.dump(manifest, f)
@@ -123,7 +127,11 @@ def latest_task(directory: str) -> Optional[int]:
 
 
 def load_checkpoint(directory: str, task: Optional[int] = None):
-    """Rebuild a GrowableStereoNet. Returns (net, manifest)."""
+    """Rebuild the growable net (stereo or depth — the manifest records the
+    variant, so specs are rebuilt with the right builders). Returns
+    (net, manifest)."""
+    from rag_tpu.models.growable import GrowableDepthNet
+
     if task is None:
         task = latest_task(directory)
         assert task is not None, f"no checkpoints in {directory}"
@@ -132,7 +140,9 @@ def load_checkpoint(directory: str, task: Optional[int] = None):
     data = dict(np.load(os.path.join(directory, f"arrays_task{task}.npz")))
 
     genotypes = [_geno_from(g) for g in manifest["genotypes"]]
-    net = GrowableStereoNet.__new__(GrowableStereoNet)
+    variant = manifest.get("variant", "stereo")
+    cls = GrowableDepthNet if variant == "depth" else GrowableStereoNet
+    net = cls.__new__(cls)
     net.genotypes = genotypes
     net.archis = [
         {k: int(v) for k, v in arch.items()} for arch in manifest["archis"]
@@ -145,17 +155,27 @@ def load_checkpoint(directory: str, task: Optional[int] = None):
         {k: [int(i) for i in v] for k, v in mtt.items()}
         if mtt is not None else None)
 
+    # spec/head builders are instance methods on the right class
+    # (stereo: 3D 24->12 matching stems; depth: 2D 12->12 — the r2 loader
+    # always used the stereo builders, breaking depth restores)
+    spec_cache = {}
+
+    def site_spec(born, s):
+        if born not in spec_cache:
+            spec_cache[born] = net.spec_builder(genotypes[born])
+        return spec_cache[born][s]
+
     net.units = {}
     for s in SITE_NAMES:
         net.units[s] = []
         for i in range(manifest["lengths"][s]):
             born = manifest["born"][s][i]
-            spec = build_site_specs(genotypes[born])[s]
             params = _unflatten(data, f"units/{s}/{i}/params")
             stats = _unflatten(data, f"units/{s}/{i}/stats")
-            net.units[s].append(Unit(spec, _to_jax(params), _to_jax(stats), born))
+            net.units[s].append(Unit(site_spec(born, s), _to_jax(params),
+                                     _to_jax(stats), born))
     net.heads = {}
-    head_specs = build_head_specs()
+    head_specs = net.head_builder()
     for h in HEAD_NAMES:
         net.heads[h] = []
         for i in range(manifest["num_heads"][h]):
@@ -163,6 +183,13 @@ def load_checkpoint(directory: str, task: Optional[int] = None):
             stats = _unflatten(data, f"heads/{h}/{i}/stats")
             net.heads[h].append(Unit(head_specs[h], _to_jax(params),
                                      _to_jax(stats), i))
+    if variant == "depth":
+        from rag_tpu.models.depth import DEPTH_HEAD_SPEC
+
+        net.depth_head = Unit(
+            DEPTH_HEAD_SPEC,
+            _to_jax(_unflatten(data, "depth_head/params")),
+            _to_jax(_unflatten(data, "depth_head/stats")), 0)
     return net, manifest
 
 

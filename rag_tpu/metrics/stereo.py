@@ -24,12 +24,18 @@ def _per_image(vals, weights):
 
 
 def _image_weights(d_gt, mask):
-    """1.0 for images that pass the reference's <10%-coverage skip rule."""
+    """1.0 for images that pass the reference's <10%-coverage skip rule.
+
+    kept  <=>  mask.mean()/ (gt>0).mean() >= 0.1  <=>  10*|mask| >= |gt>0|.
+    The sum form is EXACT at the ratio==0.1 boundary: pixel counts are
+    integers representable in f32 (XLA lowers mean to sum*(1/n), whose
+    rounding can land 1 ulp below 0.1 — pinned in tests/test_metrics_spec).
+    Images with no gt>0 pixels get weight 0 (the reference's nan-poisoning
+    divide-by-zero is a bug we deliberately do not replicate)."""
     axes = tuple(range(1, d_gt.ndim))
-    mask_mean = jnp.mean(mask.astype(jnp.float32), axis=axes)
-    gt_mean = jnp.mean((d_gt > 0).astype(jnp.float32), axis=axes)
-    ratio = mask_mean / jnp.maximum(gt_mean, 1e-12)
-    return ((ratio >= 0.1) & (gt_mean > 0)).astype(jnp.float32)
+    mask_sum = jnp.sum(mask.astype(jnp.float32), axis=axes)
+    gt_sum = jnp.sum((d_gt > 0).astype(jnp.float32), axis=axes)
+    return ((10.0 * mask_sum >= gt_sum) & (gt_sum > 0)).astype(jnp.float32)
 
 
 def _masked_image_mean(x, mask):

@@ -59,14 +59,16 @@ def host_local_indices(n_items: int,
                        process_index: Optional[int] = None,
                        process_count: Optional[int] = None) -> np.ndarray:
     """Contiguous shard of dataset indices owned by this host. Every host
-    gets the same count (floor division; the tail wraps around so all
-    shards stay equal-sized — search splits need equal lengths)."""
+    gets the same count per = ceil(n/pc); when pc does not divide n the
+    tail shards wrap around to the start (a few items appear on two hosts,
+    none is dropped — search splits need equal lengths AND full
+    coverage)."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    per = n_items // pc
+    per = -(-n_items // pc)  # ceil division
     assert per > 0, (n_items, pc)
     start = pi * per
-    return np.arange(start, start + per)
+    return np.arange(start, start + per) % n_items
 
 
 def global_batch(local: Dict[str, np.ndarray], mesh: Mesh) -> Dict:

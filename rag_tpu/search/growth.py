@@ -175,10 +175,21 @@ class OpSearch:
     #    this — op search is a 100-epoch stage that must survive a kill) ---
 
     def save_state(self, path: str, t: int, epoch: int, h_e, h_a,
-                   momentum: Dict, best: Optional[Dict], best_loss: float):
+                   momentum: Dict, best: Optional[Dict], best_loss: float,
+                   rng=None):
+        import json as _json
+
         from rag_tpu.continual.state import _flatten
 
+        d = os.path.dirname(path)
+        if d:
+            # defensive: a vanished/missing parent dir must not kill a
+            # 100-epoch stage (the round-2 canonical_r2b crash)
+            os.makedirs(d, exist_ok=True)
         arrays: Dict[str, np.ndarray] = {}
+        if rng is not None:
+            arrays["rng_state"] = np.asarray(
+                _json.dumps(rng.bit_generator.state))
         for name, u in self._new_unit_refs(t):
             _flatten(_tree_np(u.params), f"live/{name}/params", arrays)
             _flatten(_tree_np(u.stats), f"live/{name}/stats", arrays)
@@ -192,17 +203,24 @@ class OpSearch:
             arrays[f"prob/{i}"] = np.asarray(p)
             arrays[f"he/{i}"] = np.asarray(h_e[i])
             arrays[f"ha/{i}"] = np.asarray(h_a[i])
-        np.savez(path, epoch=epoch, best_loss=best_loss,
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, epoch=epoch, best_loss=best_loss,
                  has_best=int(best is not None), **arrays)
+        os.replace(tmp, path)
 
-    def load_state(self, path: str, t: int):
-        """Restores registry tensors, p, momentum; returns
-        (start_epoch, h_e, h_a, momentum, best, best_loss)."""
+    def load_state(self, path: str, t: int, rng=None):
+        """Restores registry tensors, p, momentum, and the rng bit state;
+        returns (start_epoch, h_e, h_a, momentum, best, best_loss)."""
+        import json as _json
+
         from rag_tpu.continual.state import _unflatten
 
         import jax.numpy as jnp
 
         data = dict(np.load(path))
+        if rng is not None and "rng_state" in data:
+            rng.bit_generator.state = _json.loads(str(data["rng_state"]))
+            del data["rng_state"]
         to_jax = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
         for name, u in self._new_unit_refs(t):
             u.params = to_jax(_unflatten(data, f"live/{name}/params"))
@@ -250,12 +268,8 @@ class OpSearch:
         start_epoch = 0
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             (start_epoch, h_e, h_a, momentum, best, best_loss) = \
-                self.load_state(checkpoint_path, t)
+                self.load_state(checkpoint_path, t, rng=rng)
             self.log(f"[op-search t{t}] resumed at epoch {start_epoch}")
-            # rng must replay to the same stream position
-            for _ in range(start_epoch):
-                for p in net.p:
-                    rng.choice(len(p), p=np.full(len(p), 1.0 / len(p)))
 
         for epoch in range(start_epoch, cfg.epochs):
             lr = cosine_lr(cfg.lr, cfg.epochs, epoch, cfg.lr_min)
@@ -328,7 +342,7 @@ class OpSearch:
 
             if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
                 self.save_state(checkpoint_path, t, epoch, h_e, h_a,
-                                momentum, best, best_loss)
+                                momentum, best, best_loss, rng=rng)
             if stop_after is not None and epoch + 1 >= stop_after:
                 # fault injection for resume tests: simulate a kill AFTER
                 # the checkpoint write (no best-restore happens)

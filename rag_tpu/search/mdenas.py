@@ -136,22 +136,49 @@ class CellSearch:
         return parse_genotype(self.p["normal"], self.p["reduce"])
 
     # -- mid-search checkpointing (SURVEY.md §5: the reference loses any
-    #    crash back to the last per-task ckpt; search state included here) -
+    #    crash back to the last per-task ckpt; search state included here).
+    #    The checkpoint carries EVERYTHING the loop depends on — including
+    #    the numpy Generator bit state and the best-by-valid snapshot — so
+    #    an interrupted+resumed search is bit-identical to an uninterrupted
+    #    one (pinned in tests/test_resume.py).
 
-    def save_state(self, path: str, epoch: int, h_e, h_a):
+    def save_state(self, path: str, epoch: int, h_e, h_a, rng,
+                   best_loss, best_p, best_params):
+        import json as _json
         import numpy as _np
+        import os as _os
 
+        d = _os.path.dirname(path)
+        if d:
+            # defensive: a vanished/missing parent dir must not kill a
+            # 100-epoch stage (the round-2 canonical_r2b crash)
+            _os.makedirs(d, exist_ok=True)
         flat, _ = jax.tree_util.tree_flatten((self.params, self.stats,
                                               self.opt_state))
-        _np.savez(path,
+        extras = {}
+        if best_p is not None:
+            extras["bestp_normal"] = best_p["normal"]
+            extras["bestp_reduce"] = best_p["reduce"]
+        if best_params is not None:
+            bflat, _ = jax.tree_util.tree_flatten(best_params)
+            extras.update({f"bleaf_{i}": _np.asarray(l)
+                           for i, l in enumerate(bflat)})
+        tmp = path + ".tmp.npz"
+        _np.savez(tmp,
                   epoch=epoch,
+                  rng_state=_json.dumps(rng.bit_generator.state),
+                  best_loss=best_loss,
                   p_normal=self.p["normal"], p_reduce=self.p["reduce"],
                   he_normal=h_e["normal"], he_reduce=h_e["reduce"],
                   ha_normal=h_a["normal"], ha_reduce=h_a["reduce"],
+                  **extras,
                   **{f"leaf_{i}": _np.asarray(l) for i, l in enumerate(flat)})
+        _os.replace(tmp, path)
 
-    def load_state(self, path: str):
-        """Returns (start_epoch, h_e, h_a) and restores p/params/stats/opt."""
+    def load_state(self, path: str, rng):
+        """Restores p/params/stats/opt and the rng bit state; returns
+        (start_epoch, h_e, h_a, best_loss, best_p, best_params)."""
+        import json as _json
         import numpy as _np
 
         data = _np.load(path)
@@ -164,11 +191,27 @@ class CellSearch:
         leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
         self.params, self.stats, self.opt_state = \
             jax.tree_util.tree_unflatten(treedef, leaves)
-        return int(data["epoch"]) + 1, h_e, h_a
+        if "rng_state" in data.files:
+            rng.bit_generator.state = _json.loads(str(data["rng_state"]))
+        best_loss = float(data["best_loss"]) if "best_loss" in data.files \
+            else np.inf
+        best_p = None
+        if "bestp_normal" in data.files:
+            best_p = {"normal": data["bestp_normal"],
+                      "reduce": data["bestp_reduce"]}
+        best_params = None
+        nb = len([k for k in data.files if k.startswith("bleaf_")])
+        if nb:
+            _, ptreedef = jax.tree_util.tree_flatten(self.params)
+            bleaves = [jnp.asarray(data[f"bleaf_{i}"]) for i in range(nb)]
+            best_params = jax.tree_util.tree_unflatten(ptreedef, bleaves)
+        return (int(data["epoch"]) + 1, h_e, h_a, best_loss, best_p,
+                best_params)
 
     def search(self, train_data, writer=None, task: int = 0,
                checkpoint_path: str = None, checkpoint_every: int = 10,
-               resume: bool = False) -> Genotype:
+               resume: bool = False,
+               stop_after: Optional[int] = None) -> Genotype:
         """Run the full MdeNAS loop; returns the best-by-valid-loss genotype.
 
         train_data: dataset exposing .batches(batch, shuffle, seed, indices).
@@ -187,7 +230,8 @@ class CellSearch:
         best_loss, best_p, best_params = np.inf, None, None
         start_epoch = 0
         if resume and checkpoint_path and _os.path.exists(checkpoint_path):
-            start_epoch, h_e, h_a = self.load_state(checkpoint_path)
+            (start_epoch, h_e, h_a, best_loss, best_p, best_params) = \
+                self.load_state(checkpoint_path, rng)
             self.log(f"[cell-search t{task}] resumed at epoch {start_epoch}")
 
         for epoch in range(start_epoch, cfg.epochs):
@@ -241,7 +285,12 @@ class CellSearch:
                 best_params = jax.tree_util.tree_map(lambda x: x, self.params)
 
             if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
-                self.save_state(checkpoint_path, epoch, h_e, h_a)
+                self.save_state(checkpoint_path, epoch, h_e, h_a, rng,
+                                best_loss, best_p, best_params)
+            if stop_after is not None and epoch + 1 >= stop_after:
+                # fault injection for resume tests: simulate a kill AFTER
+                # the checkpoint write (no best-restore happens)
+                return self.genotype()
 
         if best_p is not None:
             self.p = best_p
