@@ -366,7 +366,9 @@ class ContinualDriver:
             # training would only skew the classifier toward label 0
             return
         if self.router is None:
-            self.router = SceneRouter(self.cfg.num_tasks, seed=self.cfg.seed)
+            key = "image" if self.variant == "depth" else "left"
+            self.router = SceneRouter(self.cfg.num_tasks, seed=self.cfg.seed,
+                                      input_key=key)
         self.router.train(train_datasets[:t + 1],
                           epochs=self.cfg.router_epochs,
                           batch=self.cfg.router_batch, log=self.log)
@@ -383,6 +385,10 @@ class ContinualDriver:
         from rag_tpu.continual.inference import RoutedInference
 
         if self.router is None or self.net is None:
+            return None
+        if self.variant != "stereo":
+            # routed-vs-oracle evaluation rides the stereo inference
+            # engine; depth reports router accuracy via train_router only
             return None
         n = len(self.net.archis)
         engine = RoutedInference(self.net, self.router,

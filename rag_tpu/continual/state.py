@@ -64,7 +64,8 @@ def save_router(directory: str, router) -> None:
     per task) rather than per-task copies."""
     os.makedirs(directory, exist_ok=True)
     np.savez(os.path.join(directory, "router.npz"),
-             num_tasks=router.num_tasks, **router.state_arrays())
+             num_tasks=router.num_tasks, input_key=router.input_key,
+             **router.state_arrays())
 
 
 def load_router(directory: str):
@@ -75,7 +76,8 @@ def load_router(directory: str):
     from rag_tpu.models.router import SceneRouter
 
     data = dict(np.load(path))
-    router = SceneRouter(int(data["num_tasks"]))
+    router = SceneRouter(int(data["num_tasks"]),
+                         input_key=str(data.get("input_key", "left")))
     router.load_arrays(data)
     return router
 

@@ -79,8 +79,10 @@ def make_router_train_step(optimizer):
 class SceneRouter:
     """Host-side trainer/predictor for the scene classifier."""
 
-    def __init__(self, num_tasks: int, seed: int = 0, lr: float = 1e-3):
+    def __init__(self, num_tasks: int, seed: int = 0, lr: float = 1e-3,
+                 input_key: str = "left"):
         self.num_tasks = num_tasks
+        self.input_key = input_key  # "left" (stereo) / "image" (depth)
         self.params = init_router(jax.random.PRNGKey(seed), num_tasks)
         self.optimizer = optax.adam(lr)
         self.opt_state = self.optimizer.init(self.params)
@@ -102,9 +104,10 @@ class SceneRouter:
                     except StopIteration:
                         done[t] = True
                         continue
-                    labels = jnp.full((b["left"].shape[0],), t, jnp.int32)
+                    frames = b[self.input_key]
+                    labels = jnp.full((frames.shape[0],), t, jnp.int32)
                     self.params, self.opt_state, loss = self._step(
-                        self.params, self.opt_state, b["left"], labels)
+                        self.params, self.opt_state, frames, labels)
             if log and loss is not None:
                 log(f"[router] epoch {epoch} loss {float(loss):.4f}")
 
@@ -132,7 +135,7 @@ class SceneRouter:
         correct = total = 0
         for t, d in enumerate(datasets):
             for b in d.batches(batch, False, seed=0, drop_last=False):
-                pred = self.predict(b["left"])
+                pred = self.predict(b[self.input_key])
                 correct += int((pred == t).sum())
                 total += len(pred)
         return correct / max(total, 1)

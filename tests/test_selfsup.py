@@ -35,6 +35,40 @@ class TestColorTransfer:
 
 
 @pytest.mark.slow
+def test_selfsup_finetune_kill_and_resume(tmp_path):
+    """Elastic parity (VERDICT r2 #5): the photometric fine-tune now rides
+    the shared stage-checkpoint machinery — a kill mid-fine-tune resumes
+    at the checkpointed epoch, and the pretrain warm-up is skipped on
+    resume (its output would be overwritten by the restored state)."""
+    cfg = SelfSupConfig(
+        cell=CellSearchConfig(epochs=1, batch=2, seed=0),
+        op=OpSearchConfig(epochs=1, batch=2, o_size=1, seed=0),
+        train=TrainConfig(epochs=3, batch=2),
+        num_tasks=1, seed=0, skip_cell_search=True,
+        pretrain_epochs=1, pretrain_batch=2,
+    )
+    mk = lambda s: SyntheticStereoDataset(4, 24, 48, seed=s, max_disp=12.0)
+    d1 = SelfSupContinualDriver(cfg, pretrain_data=mk(99),
+                                proxy_search_data=mk(98), log=None,
+                                checkpoint_dir=str(tmp_path))
+    d1.stage_checkpoint_every = 1
+    d1._finetune_stop_after = 2  # die after epoch 1's checkpoint
+    d1.train_task(0, mk(10), mk(20))
+    assert (tmp_path / "finetune_t0.npz").exists()
+
+    d2 = SelfSupContinualDriver(cfg, pretrain_data=mk(99),
+                                proxy_search_data=mk(98), log=None,
+                                checkpoint_dir=str(tmp_path))
+    d2.net = d1.net
+    logs = []
+    d2.log = logs.append
+    assert not d2._should_pretrain(0)  # pretrain skipped on resume
+    d2.fine_tune(0, mk(10), mk(20))
+    assert any("resumed at epoch 2" in m for m in logs)
+    assert not (tmp_path / "finetune_t0.npz").exists()  # consumed
+
+
+@pytest.mark.slow
 def test_selfsup_two_task_run():
     cfg = SelfSupConfig(
         cell=CellSearchConfig(epochs=1, batch=2, seed=0),
