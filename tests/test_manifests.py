@@ -74,3 +74,94 @@ def test_scene_lists_task_order(tmp_path):
         f"drivingstereo_{s}_train.txt"
         for s in ("cloudy", "foggy", "rainy", "sunny")]
     assert len(te) == 4
+
+
+# -- cross-domain builders (VERDICT r2 #5/#10: the src_self 4-KRCD layouts,
+#    src_self/filenames/cross_dataset) --------------------------------------
+
+
+def _touch(*parts):
+    path = os.path.join(*parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    open(path, "w").close()
+    return path
+
+
+def test_cityscapes_builder(tmp_path):
+    from rag_tpu.data.manifests import build_cityscapes_manifests
+
+    root = str(tmp_path / "cs")
+    for i in range(10):
+        stem = f"bremen_{i:06d}_000019"
+        _touch(root, "leftImg8bit", "train", "bremen",
+               stem + "_leftImg8bit.png")
+        _touch(root, "rightImg8bit", "train", "bremen",
+               stem + "_rightImg8bit.png")
+        _touch(root, "disparity", "train", "bremen", stem + "_disparity.png")
+    # one incomplete frame must be skipped
+    _touch(root, "leftImg8bit", "train", "bremen",
+           "bremen_999999_000019_leftImg8bit.png")
+    written = build_cityscapes_manifests(root, str(tmp_path / "out"),
+                                         train_n=7, test_n=3, seed=0)
+    assert set(written) == {"bremen_train.txt", "bremen_test.txt"}
+    train = open(written["bremen_train.txt"]).read().strip().splitlines()
+    test = open(written["bremen_test.txt"]).read().strip().splitlines()
+    assert len(train) == 7 and len(test) == 3
+    for ln in train + test:
+        cols = ln.split()
+        assert len(cols) == 3
+        assert "_leftImg8bit.png" in cols[0]
+        assert "_rightImg8bit.png" in cols[1]
+        assert "_disparity.png" in cols[2]
+        assert all(os.path.exists(c) for c in cols)
+    # no overlap between splits
+    assert not set(train) & set(test)
+
+
+def test_kitti_raw_builder(tmp_path):
+    from rag_tpu.data.manifests import build_kitti_raw_manifests
+
+    root = str(tmp_path / "kraw")
+    drive = "2011_09_28_drive_0016_sync"
+    for split, frames in (("train", (135, 158)), ("val", (15,))):
+        for fr in frames:
+            fn = f"{fr:010d}.png"
+            _touch(root, "labels", "data_depth_annotated", split, drive,
+                   "proj_disp", "groundtruth", fn)
+            _touch(root, "images", "2011_09_28", drive, "image_02", "data", fn)
+            _touch(root, "images", "2011_09_28", drive, "image_03", "data", fn)
+    written = build_kitti_raw_manifests(root, str(tmp_path / "out"))
+    assert set(written) == {"campus_train.txt", "campus_val.txt"}
+    train = open(written["campus_train.txt"]).read().strip().splitlines()
+    val = open(written["campus_val.txt"]).read().strip().splitlines()
+    assert len(train) == 2 and len(val) == 1
+    cols = train[0].split()
+    assert "image_02" in cols[0] and "image_03" in cols[1]
+    assert "proj_disp/groundtruth" in cols[2]
+
+
+def test_kitti_stereo_builder(tmp_path):
+    from rag_tpu.data.manifests import build_kitti_stereo_manifests
+
+    r12 = str(tmp_path / "KITTI2012")
+    r15 = str(tmp_path / "KITTI2015")
+    for i in range(4):
+        fn = f"{i:06d}_10.png"
+        _touch(r12, "training", "colored_0", fn)
+        _touch(r12, "training", "colored_1", fn)
+        _touch(r12, "training", "disp_occ", fn)
+        _touch(r15, "training", "image_2", fn)
+        _touch(r15, "training", "image_3", fn)
+        _touch(r15, "training", "disp_occ_0", fn)
+    # non-GT frames (_11) must be excluded
+    _touch(r12, "training", "colored_0", "000000_11.png")
+    written = build_kitti_stereo_manifests(str(tmp_path / "out"),
+                                           root2012=r12, root2015=r15,
+                                           train_n=6, val_n=2, seed=0)
+    train = open(written["kitti1215_train.txt"]).read().strip().splitlines()
+    val = open(written["kitti1215_val.txt"]).read().strip().splitlines()
+    assert len(train) == 6 and len(val) == 2
+    both = train + val
+    assert any("colored_0" in ln for ln in both)
+    assert any("image_2" in ln for ln in both)
+    assert all("_10.png" in ln.split()[0] for ln in both)
