@@ -376,48 +376,63 @@ class ContinualDriver:
         self.log(f"[router] after task {t}: scene accuracy {100*acc:.1f}%")
         self.writer.scalars("router", {"accuracy": acc}, step=t)
 
+    def _routed_eval(self, u: int, test_data, confusion) -> dict:
+        """Per-frame routed evaluation of one scene's test set: route each
+        frame, run it through the PREDICTED task's path. Variant-generic
+        via the _batch_args/_eval_step_for hooks."""
+        n = len(self.net.archis)
+        m = AverageMeterDict()
+        for b in test_data.batches(1, False, seed=0, drop_last=False):
+            pred = self.router.predict(b[self.router.input_key])
+            t = min(int(pred[0]), n - 1)
+            confusion[u, t] += 1
+            arch = self.net.archis[t]
+            specs, params, stats = self.net.path(arch)
+            key = tuple(sorted((k, s) for k, s in specs.items()))
+            if key not in self._eval_cache:
+                self._eval_cache[key] = self._eval_step_for(specs)
+            scalars = self._eval_cache[key](params, stats,
+                                            *self._batch_args(b))
+            m.update({k: float(v) for k, v in scalars.items()})
+        return m.mean()
+
     def router_report(self, test_datasets) -> Optional[dict]:
         """Routed-vs-oracle evidence: evaluate every scene's test set (a)
         with per-frame routed paths and (b) with the ground-truth task path,
         plus the router confusion matrix. This is the number the paper's
         Scene-Router claim rests on; the reference's dormant hook
         (src/models/rag_model.py:369, src/run.py:180) never produced it."""
-        from rag_tpu.continual.inference import RoutedInference
-
         if self.router is None or self.net is None:
             return None
-        if self.variant != "stereo":
-            # routed-vs-oracle evaluation rides the stereo inference
-            # engine; depth reports router accuracy via train_router only
-            return None
         n = len(self.net.archis)
-        engine = RoutedInference(self.net, self.router,
-                                 maxdisp=self.cfg.maxdisp)
         confusion = np.zeros((n, n), np.int64)
-        report = {"routed_D1": [], "oracle_D1": [],
-                  "routed_EPE": [], "oracle_EPE": []}
+        routed, oracle = [], []
         for u in range(n):
-            ds = test_datasets[u]
-            for b in ds.batches(1, False, seed=0, drop_last=False):
-                for p in engine.route(b["left"]):
-                    confusion[u, min(int(p), n - 1)] += 1
-            routed = engine.evaluate(ds, task=None)
-            oracle = engine.evaluate(ds, task=u)
-            report["routed_D1"].append(float(routed.get("D1", 0.0)))
-            report["oracle_D1"].append(float(oracle.get("D1", 0.0)))
-            report["routed_EPE"].append(float(routed.get("EPE", 0.0)))
-            report["oracle_EPE"].append(float(oracle.get("EPE", 0.0)))
-        report["confusion"] = confusion.tolist()
-        report["router_accuracy"] = float(np.trace(confusion)
-                                          / max(confusion.sum(), 1))
-        report["routed_minus_oracle_D1"] = float(
-            np.mean(report["routed_D1"]) - np.mean(report["oracle_D1"]))
-        self.log(f"[router] routed-vs-oracle D1 delta "
-                 f"{100*report['routed_minus_oracle_D1']:+.3f}% "
-                 f"(routed {[f'{100*x:.2f}' for x in report['routed_D1']]} "
-                 f"oracle {[f'{100*x:.2f}' for x in report['oracle_D1']]}); "
-                 f"confusion diag {np.diag(confusion).tolist()} of "
-                 f"{confusion.sum(axis=1).tolist()}")
+            routed.append(self._routed_eval(u, test_datasets[u], confusion))
+            oracle.append(self.evaluate(u, test_datasets[u]))
+        keys = sorted(set().union(*[set(r) for r in routed + oracle]))
+        report = {"routed": {k: [float(r.get(k, 0.0)) for r in routed]
+                             for k in keys},
+                  "oracle": {k: [float(o.get(k, 0.0)) for o in oracle]
+                             for k in keys},
+                  "confusion": confusion.tolist(),
+                  "router_accuracy": float(np.trace(confusion)
+                                           / max(confusion.sum(), 1))}
+        head = "D1" if "D1" in keys else ("silog" if "silog" in keys else
+                                          keys[0] if keys else None)
+        if head is not None:
+            delta = float(np.mean(report["routed"][head])
+                          - np.mean(report["oracle"][head]))
+            report[f"routed_minus_oracle_{head}"] = delta
+            # flat aliases for the headline metric (BASELINE.md tables)
+            report[f"routed_{head}"] = report["routed"][head]
+            report[f"oracle_{head}"] = report["oracle"][head]
+            self.log(
+                f"[router] routed-vs-oracle {head} delta {delta:+.4f} "
+                f"(routed {[f'{x:.4f}' for x in report['routed'][head]]} "
+                f"oracle {[f'{x:.4f}' for x in report['oracle'][head]]}); "
+                f"confusion diag {np.diag(confusion).tolist()} of "
+                f"{confusion.sum(axis=1).tolist()}")
         self.router_eval = report
         return report
 

@@ -89,3 +89,36 @@ def test_driver_router_integration_and_routed_eval(tmp_path):
         gt = engine.evaluate(test[u], task=u)
         routed = engine.evaluate(test[u], task=None)
         assert abs(routed["D1"] - gt["D1"]) < 0.02, (u, routed, gt)
+
+
+@pytest.mark.slow
+def test_router_report_depth_variant(tmp_path):
+    """router_report is variant-generic (VERDICT r2 weak #7: round 2 had no
+    router at all for depth): a depth driver with --train-router produces
+    routed-vs-oracle silog rows + a confusion matrix."""
+    from rag_tpu.continual.depth_driver import (
+        DepthContinualDriver,
+        SyntheticDepthDataset,
+    )
+
+    cfg = ExperimentConfig(
+        cell=CellSearchConfig(epochs=1, batch=2, seed=0),
+        op=OpSearchConfig(epochs=1, batch=2, o_size=1, seed=0),
+        train=TrainConfig(epochs=1, batch=2),
+        num_tasks=2, seed=0, skip_cell_search=True,
+        use_router=True, router_epochs=1,
+    )
+    mk = lambda s: SyntheticDepthDataset(4, 24, 48, seed=s)
+    driver = DepthContinualDriver(cfg, log=None,
+                                  checkpoint_dir=str(tmp_path))
+    driver.run([mk(10), mk(11)], [mk(20), mk(21)], [mk(30), mk(31)])
+    report = driver.router_eval
+    assert report is not None
+    assert np.asarray(report["confusion"]).shape == (2, 2)
+    assert len(report["routed"]["silog"]) == 2
+    assert len(report["oracle"]["silog"]) == 2
+    assert "routed_minus_oracle_silog" in report
+    # the depth router trained on the "image" key and persisted with it
+    assert driver.router.input_key == "image"
+    r2 = load_router(str(tmp_path))
+    assert r2 is not None and r2.input_key == "image"
