@@ -38,7 +38,10 @@ def init_router(key, num_tasks: int, width: int = 16):
         "c0": conv(k[0], 3, width),
         "c1": conv(k[1], width, width * 2),
         "c2": conv(k[2], width * 2, width * 4),
-        "w": jax.random.normal(k[3], (width * 4, num_tasks)) * 0.01,
+        # head over [global mean ; global std] of the trunk features: the
+        # std half separates appearance styles that differ in VARIANCE
+        # (e.g. rain noise) which mean-pooling alone washes out
+        "w": jax.random.normal(k[3], (width * 8, num_tasks)) * 0.01,
         "b": jnp.zeros((num_tasks,)),
     }
 
@@ -51,7 +54,10 @@ def router_logits(params, image):
             x, params[name], (2, 2), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = jax.nn.relu(x)
-    feat = jnp.mean(x, axis=(1, 2))
+    mean = jnp.mean(x, axis=(1, 2))
+    std = jnp.sqrt(jnp.maximum(
+        jnp.mean(jnp.square(x), axis=(1, 2)) - jnp.square(mean), 0.0))
+    feat = jnp.concatenate([mean, std], axis=-1)
     return feat @ params["w"] + params["b"]
 
 

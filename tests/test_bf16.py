@@ -50,6 +50,7 @@ def _fwd(specs, params, stats, cf, train=False, shape=(1, 24, 48, 3)):
 
 
 @pytest.mark.parametrize("cf", [False, True], ids=["cl", "cf"])
+@pytest.mark.slow
 def test_bf16_forward_close_to_f32(cf, monkeypatch):
     specs, params, stats = _path()
     d32, _ = _fwd(specs, params, stats, cf)
@@ -64,6 +65,7 @@ def test_bf16_forward_close_to_f32(cf, monkeypatch):
     assert np.mean(np.abs(a - b)) < 5.0
 
 
+@pytest.mark.slow
 def test_bf16_param_grads_are_f32(bf16):
     specs, params, stats = _path()
 
@@ -145,6 +147,7 @@ def test_bf16_train_step_state_stays_f32(bf16):
         assert l.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_bf16_train_loss_close_to_f32(monkeypatch):
     from rag_tpu.train.trainer import make_optimizer, make_train_step
 

@@ -33,6 +33,7 @@ def fused(request, monkeypatch):
     return request.param == "1"
 
 
+@pytest.mark.slow
 def test_cf_matches_cl_eval(fused):
     specs, params, stats = _path()
     left = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 96, 3))
@@ -47,6 +48,7 @@ def test_cf_matches_cl_eval(fused):
                                rtol=1e-4, atol=5e-2 if fused else 1e-3)
 
 
+@pytest.mark.slow
 def test_cf_matches_cl_train_stats(fused):
     specs, params, stats = _path()
     left = jax.random.normal(jax.random.PRNGKey(3), (2, 48, 96, 3))
@@ -66,6 +68,7 @@ def test_cf_matches_cl_train_stats(fused):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cf_gradients_match(fused):
     specs, params, stats = _path()
     left = jax.random.normal(jax.random.PRNGKey(5), (1, 24, 48, 3))
@@ -119,6 +122,7 @@ def test_conv3d_brc_cf_gradients_exact():
                                        rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_supernet_cf_matches_cl():
     """Compare the PRE-softmin matching output (the disparity expectation
     amplifies 1e-5 logit noise into pixels on untrained nets)."""

@@ -2,10 +2,13 @@
 full continual pipeline end to end from argv. Regression guard for the
 main() os-shadowing crash (any non-bf16 run raised UnboundLocalError)."""
 
+import pytest
+
 import json
 import os
 
 
+@pytest.mark.slow
 def test_cli_synthetic_smoke(tmp_path):
     from rag_tpu.cli import main
 
@@ -31,6 +34,7 @@ def test_cli_synthetic_smoke(tmp_path):
     assert res["model_size_m"] > 0
 
 
+@pytest.mark.slow
 def test_cli_selfsup_smoke(tmp_path):
     """--variant selfsup drives pretrain + photometric fine-tune + proxy
     op-search end to end from argv (src_self / run_rag_self.sh parity)."""

@@ -1,5 +1,7 @@
 """Depth search supernet + DepthCellSearch."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +15,7 @@ from rag_tpu.models.supernet import (
 from rag_tpu.search.mdenas import CellSearchConfig, DepthCellSearch
 
 
+@pytest.mark.slow
 def test_depth_supernet_forward_shapes():
     params, stats = init_depth_supernet(jax.random.PRNGKey(0))
     img = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 48, 3))
@@ -29,6 +32,7 @@ def test_depth_supernet_forward_shapes():
     assert not np.allclose(np.asarray(pred), np.asarray(pred2))
 
 
+@pytest.mark.slow
 def test_depth_cell_search_runs():
     cs = DepthCellSearch(CellSearchConfig(epochs=2, batch=2, seed=0), log=None)
     data = SyntheticDepthDataset(4, 24, 48, seed=0)

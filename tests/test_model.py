@@ -1,5 +1,7 @@
 """End-to-end shape/semantics tests for the deployed stereo pipeline."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -203,8 +205,10 @@ class TestSupernetStackedFeature:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_frozen(self):
         self._run(False)
 
+    @pytest.mark.slow
     def test_train(self):
         self._run(True)

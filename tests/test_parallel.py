@@ -47,6 +47,7 @@ def test_sharded_eval_matches_single(tiny):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single(tiny):
     specs, params, stats, batch = tiny
     opt = make_optimizer(3e-4, 5.0)
@@ -72,6 +73,7 @@ def test_sharded_train_step_matches_single(tiny):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_train_step_matches_single(tiny):
     """dp4 x sp2 (model=2: cost volume H sharded) TRAIN step == single
     device — the round-1 gap: the spatial-sharded train path was only
@@ -104,6 +106,7 @@ def test_spatial_sharded_train_step_matches_single(tiny):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_graft_entry_single(tiny):
     import sys
     sys.path.insert(0, "/root/repo")

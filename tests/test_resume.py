@@ -40,6 +40,7 @@ def test_driver_resume(tmp_path):
     assert np.isfinite(matrix.m["EPE"][1, 0])
 
 
+@pytest.mark.slow
 def test_cell_search_mid_resume_is_continuation_equivalent(tmp_path):
     """Interrupted + resumed search is BIT-IDENTICAL to uninterrupted: the
     checkpoint carries the rng bit state and the best-by-valid snapshot
@@ -78,6 +79,7 @@ def test_cell_search_mid_resume_is_continuation_equivalent(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_op_search_mid_resume_is_continuation_equivalent(tmp_path):
     """Same property for the op-level growth search: kill after epoch k
     (fault-injection stop_after), resume, and land bit-identical p /

@@ -211,6 +211,7 @@ class TestOpSearchSemantics:
         np.testing.assert_allclose(got["a"]["w"], 7.0)
         np.testing.assert_allclose(got["b"]["w"], 0.0)
 
+    @pytest.mark.slow
     def test_momentum_persists_across_epochs(self):
         """After a multi-epoch search, heads (always trainable) carry
         non-zero momentum — the reference's single-optimizer semantics."""
@@ -238,6 +239,7 @@ class TestOpSearchSemantics:
                     for l in jax.tree_util.tree_leaves(head_mom))
         assert total > 0
 
+    @pytest.mark.slow
     def test_best_by_valid_restored(self):
         """After search() the registry holds the best-epoch snapshot, not
         the last-epoch weights (rag.py:336-338)."""
@@ -266,6 +268,7 @@ class TestOpSearchSemantics:
                               jax.tree_util.tree_leaves(live[name])):
                 np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
+    @pytest.mark.slow
     def test_op_search_mid_resume_equivalence(self, tmp_path):
         """Kill after 2/4 epochs + resume == uninterrupted 4-epoch run
         (same p, same new-unit weights)."""
@@ -310,6 +313,7 @@ def _mk_driver(tmp_path, epochs=4):
     return d
 
 
+@pytest.mark.slow
 def test_finetune_mid_resume_equivalence(tmp_path):
     data = SyntheticStereoDataset(4, 24, 48, seed=0, max_disp=12.0)
     valid = SyntheticStereoDataset(4, 24, 48, seed=1, max_disp=12.0)

@@ -5,6 +5,8 @@ src/approaches/rag.py:224), so the shard_map engine must reproduce the
 sequential CellSearch per scene: same sampled op streams, same p
 trajectories, same genotypes, and matching supernet params."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,7 @@ def _datasets(n):
             for t in range(n)]
 
 
+@pytest.mark.slow
 def test_matches_sequential():
     cfg = CellSearchConfig(epochs=2, batch=2, seed=0)
     datas = _datasets(2)
@@ -44,6 +47,7 @@ def test_matches_sequential():
                                        rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_param_trajectories_match_sequential():
     """One train step per scene: sharded step == sequential step."""
     cfg = CellSearchConfig(epochs=1, batch=2, seed=0)
@@ -74,6 +78,7 @@ def test_scene_mesh_shape():
     assert m.shape["scene"] == 4
 
 
+@pytest.mark.slow
 def test_driver_scene_parallel_matches_sequential_genotypes():
     """The driver's hoisted stage-1 must hand search_cell the same
     genotypes the sequential per-task searches would produce."""
