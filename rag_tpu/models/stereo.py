@@ -157,6 +157,12 @@ def extract_feature(specs, params, stats, image, train_sites, new_stats,
     per-half statistics + two sequential EMA updates (see
     rag_tpu.ops.convbr.batch_norm), exactly the reference's two passes.
     """
+    from rag_tpu.ops.precision import cast_feature_in
+
+    # feature-net precision boundary: bf16-at-rest extends to the 2D net
+    # when enabled (stem0/stem1 buffers run at full resolution and
+    # dominate the net's HBM traffic); BN stats still accumulate f32
+    image = cast_feature_in(image)
     s = _apply(specs, params, stats, "stem_2d0", image, train_sites,
                new_stats, halves=halves)
     stem1 = _apply(specs, params, stats, "stem_2d1", s, train_sites,

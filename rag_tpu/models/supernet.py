@@ -291,14 +291,14 @@ def supernet_forward(params, stats, left, right, fea_ops, mat_ops,
 
     Returns (disp (B,H,W), new_stats). On TPU the matching half runs in
     the channel-first layout through the Pallas conv3d kernels."""
-    from rag_tpu.ops.precision import cast_in
+    from rag_tpu.ops.precision import cast_feature_in, cast_in
 
     new_stats: Dict[str, Any] = {"fea": {}, "mat": {}}
     # left+right feature extraction as ONE stacked batch: train-mode BN
     # uses per-half statistics + two sequential EMA updates (batch_norm
     # halves=2) — exactly the reference's sequential two passes
     # (mdenas_basicmodel.py:79-80) at half the dispatch
-    both = jnp.concatenate([left, right], axis=0)
+    both = cast_feature_in(jnp.concatenate([left, right], axis=0))
     f = _fea_forward(params, stats, both, fea_ops, train, new_stats,
                      halves=2)
     bsz = left.shape[0]

@@ -368,5 +368,10 @@ fused_soft_argmin.defvjp(_fsa_fwd, _fsa_bwd)
 
 def soft_argmin_disparity_fused(cost, maxdisp: int, scale: int = 3):
     """Drop-in for rag_tpu.ops.disparity.soft_argmin_disparity:
-    cost (B, D, h, w, 1) -> (B, scale*h, scale*w)."""
-    return fused_soft_argmin(cost[..., 0], maxdisp, scale)
+    cost (B, D, h, w, 1) -> (B, scale*h, scale*w).
+
+    The head always runs f32 (softmin over 192 levels amplifies noise —
+    ops/precision.py policy); a bf16 cost is upcast here so every caller
+    gets the policy regardless of the matching net's storage dtype (the
+    kernel's DMA scratch is f32 and Mosaic rejects mixed-dtype DMA)."""
+    return fused_soft_argmin(cost[..., 0].astype(jnp.float32), maxdisp, scale)

@@ -53,5 +53,27 @@ def cast_in(x):
     return x if x.dtype == dt else x.astype(dt)
 
 
+def feature_dtype() -> jnp.dtype:
+    """Storage dtype for the 2D feature net.
+
+    Round 3 trace finding: at the bf16 production config the f32
+    feature-net buffers (stem0/stem1 run at FULL resolution on the
+    stacked 2B batch — f32[8,192,384,6] is 56 MB) account for ~2 ms of
+    fusion/reduce traffic per train step. Conv weights cast to the
+    activation dtype and BatchNorm always computes statistics in f32
+    (ops/convbr.py), so riding the features bf16 is safe; disable with
+    RAG_TPU_BF16_FEATURES=0 to pin features f32 under a bf16 policy.
+    """
+    if not mixed() or os.environ.get("RAG_TPU_BF16_FEATURES", "1") != "1":
+        return jnp.dtype(jnp.float32)
+    return compute_dtype()
+
+
+def cast_feature_in(x):
+    """Cast an image/feature activation into the feature-net dtype."""
+    dt = feature_dtype()
+    return x if x.dtype == dt else x.astype(dt)
+
+
 def cast_f32(x):
     return x if x.dtype == jnp.float32 else x.astype(jnp.float32)

@@ -101,7 +101,7 @@ def main():
     pbs = sorted(glob.glob(os.path.join(
         outdir, "plugins/profile/*/*.xplane.pb")), key=os.path.getmtime)
     assert pbs, f"no xplane.pb under {outdir}"
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     xs = xplane_pb2.XSpace()
     with open(pbs[-1], "rb") as f:
         xs.ParseFromString(f.read())
