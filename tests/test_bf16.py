@@ -168,3 +168,52 @@ def test_bf16_train_loss_close_to_f32(monkeypatch):
     rel = abs(losses["bfloat16"] - losses["float32"]) \
         / max(abs(losses["float32"]), 1e-6)
     assert rel < 0.05, losses
+
+
+class TestFeatureDtypePolicy:
+    """Round-3 extension: bf16-at-rest covers the 2D feature net
+    (ops/precision.feature_dtype; RAG_TPU_BF16_FEATURES=0 opts out)."""
+
+    def test_features_ride_bf16_under_policy(self, bf16):
+        from rag_tpu.models.stereo import extract_feature
+
+        specs, params, stats = _path()
+        img = jax.random.normal(jax.random.PRNGKey(3), (2, 24, 48, 3))
+        f = extract_feature(specs, params, stats, img, frozenset(), {})
+        assert f.dtype == jnp.bfloat16
+
+    def test_opt_out_pins_features_f32(self, bf16, monkeypatch):
+        from rag_tpu.models.stereo import extract_feature
+
+        monkeypatch.setenv("RAG_TPU_BF16_FEATURES", "0")
+        specs, params, stats = _path()
+        img = jax.random.normal(jax.random.PRNGKey(3), (2, 24, 48, 3))
+        f = extract_feature(specs, params, stats, img, frozenset(), {})
+        assert f.dtype == jnp.float32
+
+    def test_f32_default_unaffected(self):
+        from rag_tpu.ops.precision import feature_dtype
+
+        assert feature_dtype() == jnp.float32
+
+    def test_train_bn_stats_stay_f32_with_bf16_features(self, bf16):
+        from rag_tpu.models.stereo import extract_feature
+
+        specs, params, stats = _path()
+        img = jax.random.normal(jax.random.PRNGKey(3), (2, 24, 48, 3))
+        ns = {}
+        extract_feature(specs, params, stats, img, frozenset(specs), ns,
+                        halves=2)
+        leaves = jax.tree_util.tree_leaves(ns)
+        assert leaves and all(l.dtype == jnp.float32 for l in leaves)
+
+    def test_fused_head_upcasts_bf16_cost(self):
+        # Mosaic rejects mixed-dtype DMA: the fused head must accept a
+        # bf16 cost (CPU path exercises the reference formulation; the
+        # entry cast is shared)
+        from rag_tpu.ops.pallas_kernels import soft_argmin_disparity_fused
+
+        cost = jax.random.normal(
+            jax.random.PRNGKey(4), (1, 8, 8, 16, 1)).astype(jnp.bfloat16)
+        d = soft_argmin_disparity_fused(cost, 24, 3)
+        assert d.dtype == jnp.float32 and d.shape == (1, 24, 48)
