@@ -242,5 +242,13 @@ class GrowableDepthNet(GrowableStereoNet):
             self.depth_head.stats = stats["depth_head"]
 
     def trainable_sites(self, t: int) -> frozenset:
+        # the shared DispHead trains ONLY in task 0: the reference's
+        # freeze_model + modify_param(model_to_train) cycle never
+        # re-enables it (rag_depth/src/approaches/rag.py:126-127;
+        # get_new_model/model_to_train lists exclude depth_head,
+        # rag_model.py:554-571, 747). Training it every task silently
+        # drifts past-task outputs through the shared head — the round-3
+        # canonical depth run surfaced exactly that as non-constant
+        # forgetting-matrix columns.
         base = super().trainable_sites(t)
-        return base | {"depth_head"}
+        return base | {"depth_head"} if t == 0 else base

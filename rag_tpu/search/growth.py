@@ -315,15 +315,16 @@ class OpSearch:
             # (rag_depth/src/approaches/rag.py:334)
             if "D1" in vm:
                 quality = 1.0 - min(max(vm.get("D1", 1.0), 0.0), 1.0)
-                valid_d1 = 1.0 - quality
+                qlabel = "D1"
             else:
                 quality = min(max(vm.get("d1", 0.0), 0.0), 1.0)
-                valid_d1 = 1.0 - quality
+                qlabel = "1-delta1"  # depth: quality = delta<1.25 accuracy
+            valid_d1 = 1.0 - quality
             valid_loss = vm.get("loss", np.inf)
             reward = np.sqrt(quality) * np.log(model_size + 1.0) / np.e
             self.log(f"[op-search t{t}] epoch {epoch} sel={selected} "
                      f"n_new={n_new} valid loss {valid_loss:.3f} "
-                     f"D1 {100*valid_d1:.1f}% reward {reward:.4f}")
+                     f"{qlabel} {100*valid_d1:.1f}% reward {reward:.4f}")
             if writer is not None:
                 writer.scalars(f"search_op/task{t}",
                                {"valid_loss": valid_loss, "valid_d1": valid_d1,

@@ -33,3 +33,9 @@ def test_depth_two_task_run():
     # heads grew per task; shared depth head exists
     assert len(driver.net.heads["last_3_3d"]) == 2
     assert driver.net.depth_head is not None
+    # zero forgetting, column-constant (the stereo guarantee holds for
+    # depth too once the shared DispHead freezes after task 0 — the
+    # round-3 canonical depth run caught it drifting)
+    for metric in ("silog", "d1"):
+        assert matrix.m[metric][1, 0] == pytest.approx(
+            matrix.m[metric][0, 0], rel=0, abs=0), metric

@@ -79,7 +79,12 @@ class TestDepthVariant:
         specs2, p2, s2 = net.path(net.archis[1])
         depth2, _ = depth_forward(specs2, p2, s2, img)
         assert depth2.shape == (1, 24, 48)
-        assert "depth_head" in net.trainable_sites(1)
+        # the shared DispHead trains only in task 0 — the reference's
+        # freeze cycle never re-enables it for t>0 (rag_depth/src/
+        # approaches/rag.py:126-127), and training it every task drifts
+        # past-task outputs (non-zero forgetting through the shared head)
+        assert "depth_head" in net.trainable_sites(0)
+        assert "depth_head" not in net.trainable_sites(1)
 
 
 class TestSelfSupLosses:
