@@ -484,9 +484,13 @@ class ContinualDriver:
             for u in range(t + 1):
                 scalars = self.evaluate(u, test_datasets[u])
                 self.matrix.record(t, u, scalars)
-                self.log(f">>> after task {t}: test task {u} "
-                         f"D1 {100*scalars.get('D1', 0):.2f}% "
-                         f"EPE {scalars.get('EPE', 0):.3f}")
+                if "D1" in scalars:
+                    head = (f"D1 {100*scalars['D1']:.2f}% "
+                            f"EPE {scalars.get('EPE', 0):.3f}")
+                else:  # depth variant: silog + delta<1.25 accuracy
+                    head = (f"silog {scalars.get('silog', 0):.2f} "
+                            f"d1 {scalars.get('d1', 0):.3f}")
+                self.log(f">>> after task {t}: test task {u} {head}")
                 self.writer.scalars("test", {f"task{u}_{k}": v
                                              for k, v in scalars.items()},
                                     step=t)
