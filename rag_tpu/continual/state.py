@@ -58,19 +58,20 @@ def _geno_from(d) -> Genotype:
                     reduce=canonicalize_gene(d["reduce"]))
 
 
-def save_router(directory: str, router) -> None:
+def save_router(directory: str, router, name: str = "router.npz") -> None:
     """Persist the Scene Router (params + optimizer state) next to the task
     checkpoints. The router is task-count-global, so one file (overwritten
-    per task) rather than per-task copies."""
+    per task) rather than per-task copies. ``name`` lets offline re-trains
+    land beside (not over) a committed canonical router artifact."""
     os.makedirs(directory, exist_ok=True)
-    np.savez(os.path.join(directory, "router.npz"),
+    np.savez(os.path.join(directory, name),
              num_tasks=router.num_tasks, input_key=router.input_key,
              **router.state_arrays())
 
 
-def load_router(directory: str):
+def load_router(directory: str, name: str = "router.npz"):
     """Rebuild the saved SceneRouter; None if never saved."""
-    path = os.path.join(directory, "router.npz")
+    path = os.path.join(directory, name)
     if not os.path.exists(path):
         return None
     from rag_tpu.models.router import SceneRouter

@@ -98,7 +98,11 @@ def depth_forward(specs: Mapping, params, stats, image, train_sites=frozenset())
     mat = _apply(specs, params, s, "last_3_3d", x, train_sites, new_stats)  # (B,h,w,1)
 
     # DispHead: conv3x3 -> sigmoid -> 3x bilinear (align_corners=False) -> x80
+    # Head always runs f32 (same policy as the stereo disparity head): under
+    # the bf16-at-rest policy `mat` arrives bf16 while hp['w'] stays f32 —
+    # lax.conv requires matching dtypes, and sigmoid+scale amplify noise.
     hp = params["depth_head"]
+    mat = mat.astype(jnp.float32)
     y = jax.lax.conv_general_dilated(
         mat, hp["w"], (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + hp["bias1"]

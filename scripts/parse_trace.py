@@ -4,45 +4,18 @@ Usage: python scripts/parse_trace.py /tmp/rag_trace_bf16 [steps]
 Async (copy/slice-start) events overlap compute, so they are reported on
 their own lines — the serialized truth is the 'XLA Ops' line.
 """
-import glob
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def classify(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
-        return "pallas"
-    if "copy" in n.split(".")[0] or n.startswith("%copy"):
-        return "copy"
-    if n.startswith(("%pad", "pad")):
-        return "pad"
-    if n.startswith(("%slice", "slice", "%dynamic-slice", "dynamic-slice",
-                     "%dynamic-update-slice", "dynamic-update-slice")):
-        return "slice"
-    if n.startswith(("%transpose", "transpose")):
-        return "transpose"
-    if n.startswith(("%convolution", "convolution", "%dot", "dot")):
-        return "matmul/conv"
-    if "fusion" in n:
-        return "fusion"
-    if n.startswith(("%reduce", "reduce", "%all-reduce")):
-        return "reduce"
-    if n.startswith(("%convert", "convert", "%bitcast", "bitcast")):
-        return "convert"
-    return "other"
+from trace_common import classify, load_xspace  # noqa: E402
 
 
 def main():
     outdir = sys.argv[1]
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    pbs = sorted(glob.glob(os.path.join(
-        outdir, "plugins/profile/*/*.xplane.pb")), key=os.path.getmtime)
-    assert pbs, f"no xplane.pb under {outdir}"
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    xs = xplane_pb2.XSpace()
-    with open(pbs[-1], "rb") as f:
-        xs.ParseFromString(f.read())
+    xs = load_xspace(outdir)
 
     for plane in xs.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():

@@ -63,8 +63,11 @@ def main():
         json.dump(result, f, indent=1)
 
     from rag_tpu.continual.state import save_router
-    save_router(CKPT, driver.router)
-    print(f"updated {RESULT} (router_meanstd) and {CKPT}/router.npz")
+    # distinct filename: never clobber the checkpoint's committed
+    # router.npz (round-3 advisor finding — the original r3 run's
+    # mean-only router was lost to an in-place overwrite)
+    save_router(CKPT, driver.router, name="router_meanstd.npz")
+    print(f"updated {RESULT} (router_meanstd) and {CKPT}/router_meanstd.npz")
 
 
 if __name__ == "__main__":

@@ -25,29 +25,7 @@ import jax.numpy as jnp
 
 STEPS = 5
 
-
-def classify(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
-        return "pallas"
-    if n.startswith("copy") or ".copy" in n or "copy-start" in n \
-            or "copy-done" in n:
-        return "copy"
-    if n.startswith("pad") or "%pad" in n:
-        return "pad"
-    if n.startswith(("slice", "dynamic-slice", "dynamic-update-slice")):
-        return "slice"
-    if n.startswith(("transpose",)):
-        return "transpose"
-    if n.startswith(("convolution", "dot", "cudnn")):
-        return "matmul/conv"
-    if n.startswith(("fusion", "loop_", "input_", "output_")) or "fusion" in n:
-        return "fusion"
-    if n.startswith(("reduce", "all-reduce")):
-        return "reduce"
-    if n.startswith(("convert", "bitcast")):
-        return "convert"
-    return "other"
+from trace_common import classify, load_xspace  # noqa: E402
 
 
 def main():
@@ -98,13 +76,7 @@ def main():
     fence(state)
     jax.profiler.stop_trace()
 
-    pbs = sorted(glob.glob(os.path.join(
-        outdir, "plugins/profile/*/*.xplane.pb")), key=os.path.getmtime)
-    assert pbs, f"no xplane.pb under {outdir}"
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    xs = xplane_pb2.XSpace()
-    with open(pbs[-1], "rb") as f:
-        xs.ParseFromString(f.read())
+    xs = load_xspace(outdir)
 
     classes, ops = {}, {}
     for plane in xs.planes:

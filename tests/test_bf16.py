@@ -207,6 +207,28 @@ class TestFeatureDtypePolicy:
         leaves = jax.tree_util.tree_leaves(ns)
         assert leaves and all(l.dtype == jnp.float32 for l in leaves)
 
+    def test_depth_variant_runs_under_bf16(self, bf16):
+        # Regression (round-3 advisor, high): bf16 features reached the
+        # depth head's f32 conv weights -> lax.conv dtype mismatch. The
+        # head now upcasts to f32 at entry (the stereo head's policy).
+        from rag_tpu.models.depth import (
+            build_depth_head_specs,
+            build_depth_site_specs,
+            depth_forward,
+            init_depth_head,
+        )
+
+        g = default_genotype()
+        specs = {**build_depth_site_specs(g), **build_depth_head_specs()}
+        params, stats = init_sites(jax.random.PRNGKey(0), specs)
+        params["depth_head"], stats["depth_head"] = init_depth_head(
+            jax.random.PRNGKey(1))
+        img = jax.random.normal(jax.random.PRNGKey(3), (1, 24, 48, 3))
+        d, _ = depth_forward(specs, params, stats, img,
+                             train_sites=frozenset(specs))
+        assert d.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(d)))
+
     def test_fused_head_upcasts_bf16_cost(self):
         # Mosaic rejects mixed-dtype DMA: the fused head must accept a
         # bf16 cost (CPU path exercises the reference formulation; the
