@@ -65,6 +65,16 @@ class ExperimentConfig:
     # fine-tune loop — a capability the reference's sequential loop can't
     # express (rag_tpu.search.scene_parallel); needs >= num_tasks devices
     scene_parallel_search: bool = False
+    # device mesh for the experiment itself (green-field; the reference is
+    # single-GPU, SURVEY.md §2.4): mesh_data-way data parallelism threads
+    # through EVERY stage (cell search, op search, fine-tune) as shard_map
+    # dp steps — Pallas kernels dispatch per shard, batch stats/grads/
+    # losses reduce exactly (rag_tpu.parallel.axis). mesh_model > 1
+    # additionally H-shards the cost volume in the stereo fine-tune via
+    # the GSPMD path (rag_tpu.parallel.sharded). Stage batches that do not
+    # divide by mesh_data fall back to single-device steps with a warning.
+    mesh_data: int = 1
+    mesh_model: int = 1
 
 
 def _save_finetune_state(path, params, stats, opt_state, best, best_loss,
@@ -124,6 +134,24 @@ class ContinualDriver:
         self.matrix = ForgettingMatrix(config.num_tasks,
                                        ("D1", "EPE", "loss", "Thres1"))
         self._eval_cache = {}
+        self.mesh = None
+        if config.mesh_data * config.mesh_model > 1:
+            from rag_tpu.parallel.mesh import make_mesh
+
+            n = config.mesh_data * config.mesh_model
+            avail = len(jax.devices())
+            if n > avail:
+                raise ValueError(
+                    f"mesh {config.mesh_data}x{config.mesh_model} needs "
+                    f"{n} devices, have {avail}")
+            self.mesh = make_mesh(data=config.mesh_data,
+                                  model=config.mesh_model,
+                                  devices=jax.devices()[:n])
+            self.log(f"[mesh] {config.mesh_data}-way dp"
+                     + (f" x {config.mesh_model}-way spatial"
+                        if config.mesh_model > 1 else "")
+                     + f" over {n} devices")
+        self._mesh_warned = set()
 
     # -- variant hooks (depth/selfsup drivers override these; everything
     #    else — stage checkpoints, resume, fault injection, eval caching —
@@ -137,9 +165,50 @@ class ContinualDriver:
     def _cell_search_cls(self):
         return CellSearch
 
+    def _mesh_for(self, batch: int, stage: str, dp_only: bool = True):
+        """The mesh a stage's steps should shard over, or None.
+
+        Falls back to single-device (with a one-time warning) when the
+        stage's batch does not divide by mesh_data, or when the stage only
+        supports shard_map dp (dp_only) but mesh_model > 1."""
+        if self.mesh is None:
+            return None
+        reason = None
+        if batch % self.cfg.mesh_data != 0:
+            reason = (f"batch {batch} not divisible by "
+                      f"mesh_data {self.cfg.mesh_data}")
+        elif dp_only and self.cfg.mesh_model > 1:
+            reason = (f"stage supports dp only; mesh_model="
+                      f"{self.cfg.mesh_model}")
+        if reason is not None:
+            if stage not in self._mesh_warned:
+                self._mesh_warned.add(stage)
+                self.log(f"[mesh] {stage}: {reason} -> single-device steps")
+            return None
+        if dp_only and self.cfg.mesh_model == 1:
+            return self.mesh
+        if not dp_only:
+            return self.mesh
+        return None
+
     def _ft_steps(self, specs, trainable, optimizer):
         """(train_step, eval_step) for the fine-tune stage: BN stats update
-        only for the task's own new units (frozen-BN reuse semantics)."""
+        only for the task's own new units (frozen-BN reuse semantics).
+        With a mesh, the steps shard over it (pure-dp keeps the Pallas
+        kernels; mesh_model>1 H-shards the cost volume via GSPMD)."""
+        mesh = self._mesh_for(self.cfg.train.batch, "fine-tune",
+                              dp_only=False)
+        if mesh is not None:
+            from rag_tpu.parallel.sharded import (
+                make_sharded_eval_step,
+                make_sharded_train_step,
+            )
+
+            return (make_sharded_train_step(mesh, specs, trainable,
+                                            optimizer,
+                                            maxdisp=self.cfg.maxdisp),
+                    make_sharded_eval_step(mesh, specs,
+                                           maxdisp=self.cfg.maxdisp))
         return (make_train_step(specs, trainable, optimizer,
                                 maxdisp=self.cfg.maxdisp),
                 make_eval_step(specs, maxdisp=self.cfg.maxdisp))
@@ -225,7 +294,8 @@ class ContinualDriver:
             dataclasses.replace(self.cfg.cell,
                                 seed=self.cfg.cell.seed + t,
                                 maxdisp=self.cfg.maxdisp),
-            log=self.log)
+            log=self.log,
+            mesh=self._mesh_for(self.cfg.cell.batch, "cell-search"))
         ckpt = self._stage_ckpt(f"cellsearch_t{t}.npz")
         geno = cs.search(train_data, writer=self.writer, task=t,
                          checkpoint_path=ckpt,
@@ -241,14 +311,35 @@ class ContinualDriver:
             os.remove(ckpt)
         return geno
 
+    def _op_search_cfg(self) -> OpSearchConfig:
+        """The op-search config for this variant (selfsup overrides the
+        split fraction + proxy-eval truncation)."""
+        return dataclasses.replace(self.cfg.op, maxdisp=self.cfg.maxdisp)
+
+    def _search_data_for(self, t: int, train_data):
+        """Data the op search trains/scores on (selfsup: color-matched
+        proxy pairs, src_self/approaches/rag.py:313-317)."""
+        return train_data
+
+    def _op_search_variant(self) -> str:
+        """Key into rag_tpu.search.growth.VARIANTS (selfsup searches with
+        the supervised stereo steps on proxy data, like the reference)."""
+        return "depth" if self.variant == "depth" else "stereo"
+
+    def _pre_finetune(self, t: int) -> None:
+        """Hook before the fine-tune stage (selfsup: supervised pretrain)."""
+
     def train_task(self, t: int, train_data, valid_data):
-        """Full per-task pipeline (Appr.train, rag.py:79-105)."""
+        """Full per-task pipeline (Appr.train, rag.py:79-105). ONE
+        implementation for every variant — the deltas live in the _op_*/
+        _pre_finetune/_ft_* hooks."""
         if self.net is not None and len(self.net.archis) > t:
             # resumed mid-task AFTER select (archis[t] exists): the search
             # stages are done, go straight to the fine-tune stage.
             self.log(f"[task {t}] resumed post-select; fine-tune only")
             self.writer.scalars("model_size_m",
                                 {"params_m": self.net.size_m()}, step=t)
+            self._pre_finetune(t)
             self.fine_tune(t, train_data, valid_data)
             return
         genotype = self.search_cell(t, train_data)
@@ -258,11 +349,12 @@ class ContinualDriver:
         else:
             self.net.expand(key, t, genotype)
             ckpt = self._stage_ckpt(f"opsearch_t{t}.npz")
-            OpSearch(self.net,
-                     dataclasses.replace(self.cfg.op,
-                                         maxdisp=self.cfg.maxdisp),
-                     log=self.log, variant=self.variant).search(
-                t, train_data, writer=self.writer, checkpoint_path=ckpt,
+            op_cfg = self._op_search_cfg()
+            OpSearch(self.net, op_cfg, log=self.log,
+                     variant=self._op_search_variant(),
+                     mesh=self._mesh_for(op_cfg.batch, "op-search")).search(
+                t, self._search_data_for(t, train_data), writer=self.writer,
+                checkpoint_path=ckpt,
                 checkpoint_every=self.stage_checkpoint_every,
                 resume=bool(ckpt and os.path.exists(ckpt)))
             if ckpt and os.path.exists(ckpt):
@@ -278,6 +370,7 @@ class ContinualDriver:
                             extra=self._ckpt_extra(stage="selected"))
         self.writer.scalars("model_size_m", {"params_m": self.net.size_m()},
                             step=t)
+        self._pre_finetune(t)
         self.fine_tune(t, train_data, valid_data)
 
     def fine_tune(self, t: int, train_data, valid_data):
@@ -472,9 +565,22 @@ class ContinualDriver:
                  f"from {self.checkpoint_dir}")
         return t if stage == "selected" else t + 1
 
+    def _dist_data(self, ds):
+        """Multi-host feeding: each host reads only its shard of the
+        global batch (rag_tpu.parallel.multihost). Single-process runs
+        (incl. single-host multi-device) pass batches straight through —
+        the sharded steps' in_shardings place them."""
+        if self.mesh is None or jax.process_count() == 1:
+            return ds
+        from rag_tpu.parallel.multihost import MultihostBatcher
+
+        return MultihostBatcher(ds, self.mesh)
+
     def run(self, train_datasets: Sequence, valid_datasets: Sequence,
             test_datasets: Sequence, resume: bool = False) -> ForgettingMatrix:
         tstart = time.time()
+        train_datasets = [self._dist_data(d) for d in train_datasets]
+        valid_datasets = [self._dist_data(d) for d in valid_datasets]
         start = self.resume() if resume else 0
         if self.cfg.scene_parallel_search:
             self.parallel_cell_search(train_datasets)

@@ -22,7 +22,6 @@ import numpy as np
 
 from rag_tpu.continual.driver import ContinualDriver, ExperimentConfig
 from rag_tpu.data.transfer import ColorTransferDataset
-from rag_tpu.search.growth import OpSearch
 from rag_tpu.train.trainer import (
     cosine_lr,
     make_eval_step,
@@ -72,17 +71,33 @@ class SelfSupContinualDriver(ContinualDriver):
         real = np.concatenate(pool, axis=0)
         return ColorTransferDataset(self.proxy_search_data, real)
 
-    # -- variant hooks: the photometric fine-tune inherits the base
-    #    driver's stage-checkpoint/resume/fault-injection machinery
-    #    (round 2 had a parallel fine_tune with none of it — VERDICT #5) --
+    # -- variant hooks: train_task itself is the BASE implementation —
+    #    the selfsup deltas live entirely in these overrides, so the
+    #    expand/op-search/select/save pipeline exists exactly once
+    #    (round-3 advisor: the copy-adapted train_task had already
+    #    drifted from the base) ---------------------------------------------
 
     def _ft_steps(self, specs, trainable, optimizer):
+        mesh = self._mesh_for(self.cfg.train.batch, "fine-tune")
         return (make_selfsup_train_step(specs, trainable, optimizer,
-                                        maxdisp=self.cfg.maxdisp),
-                make_eval_step(specs, maxdisp=self.cfg.maxdisp))
+                                        maxdisp=self.cfg.maxdisp, mesh=mesh),
+                make_eval_step(specs, maxdisp=self.cfg.maxdisp, mesh=mesh))
 
     def _ft_tag(self) -> str:
         return "selfsup"
+
+    def _op_search_cfg(self):
+        return dataclasses.replace(
+            self.cfg.op, maxdisp=self.cfg.maxdisp,
+            split_frac=self.cfg.op_split_frac,
+            eval_max_batches=self.cfg.op_eval_max_batches)
+
+    def _search_data_for(self, t: int, train_data):
+        return self._proxy_for(t, train_data)
+
+    def _pre_finetune(self, t: int) -> None:
+        if self._should_pretrain(t):
+            self.pretrain(t)
 
     def _should_pretrain(self, t: int) -> bool:
         """Skip the supervised warm-up when a mid-fine-tune checkpoint
@@ -95,52 +110,6 @@ class SelfSupContinualDriver(ContinualDriver):
         ckpt = self._stage_ckpt(f"finetune_t{t}.npz")
         return not (ckpt and os.path.exists(ckpt))
 
-    def train_task(self, t: int, train_data, valid_data):
-        import os
-
-        import dataclasses as _dc
-        import jax
-
-        if self.net is not None and len(self.net.archis) > t:
-            self.log(f"[task {t}] resumed post-select; fine-tune only")
-            if self._should_pretrain(t):
-                self.pretrain(t)
-            self.fine_tune(t, train_data, valid_data)
-            return
-        genotype = self.search_cell(t, train_data)
-        key = jax.random.PRNGKey(self.cfg.seed + 31 * t)
-        if t == 0:
-            from rag_tpu.models.growable import GrowableStereoNet
-
-            self.net = GrowableStereoNet(key, genotype)
-        else:
-            self.net.expand(key, t, genotype)
-            ckpt = self._stage_ckpt(f"opsearch_t{t}.npz")
-            op_cfg = _dc.replace(
-                self.cfg.op, maxdisp=self.cfg.maxdisp,
-                split_frac=self.cfg.op_split_frac,
-                eval_max_batches=self.cfg.op_eval_max_batches)
-            OpSearch(self.net, op_cfg, log=self.log).search(
-                t, self._proxy_for(t, train_data), writer=self.writer,
-                checkpoint_path=ckpt,
-                checkpoint_every=self.stage_checkpoint_every,
-                resume=bool(ckpt and os.path.exists(ckpt)))
-            if ckpt and os.path.exists(ckpt):
-                os.remove(ckpt)
-            best = self.net.select(t)
-            self.log(f"[task {t}] best_archi = {best}")
-        if self.checkpoint_dir:
-            # mid-task stage checkpoint: a crash during pretrain/fine-tune
-            # resumes here instead of redoing the searches
-            from rag_tpu.continual.state import save_checkpoint
-            save_checkpoint(self.checkpoint_dir, self.net, task=t,
-                            extra=self._ckpt_extra(stage="selected"))
-        self.writer.scalars("model_size_m", {"params_m": self.net.size_m()},
-                            step=t)
-        if self._should_pretrain(t):
-            self.pretrain(t)
-        self.fine_tune(t, train_data, valid_data)
-
     def pretrain(self, t: int):
         """Supervised warm-up on synthetic data (pretrain_t)."""
         cfg = self.cfg
@@ -150,7 +119,9 @@ class SelfSupContinualDriver(ContinualDriver):
         specs, params, stats = net.path(arch)
         optimizer = make_optimizer(cfg.train.weight_decay, cfg.train.grad_clip)
         step = make_train_step(specs, trainable, optimizer,
-                               maxdisp=self.cfg.maxdisp)
+                               maxdisp=self.cfg.maxdisp,
+                               mesh=self._mesh_for(cfg.pretrain_batch,
+                                                   "pretrain"))
         opt_state = optimizer.init(params)
         for epoch in range(cfg.pretrain_epochs):
             lr = cosine_lr(cfg.pretrain_lr, cfg.pretrain_epochs, epoch)

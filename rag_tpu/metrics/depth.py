@@ -14,17 +14,23 @@ DEPTH_METRIC_NAMES = (
 )
 
 
-def depth_metrics(pred, gt, mask):
+def depth_metrics(pred, gt, mask, axis=None):
     """pred/gt/mask: (B,H,W). Returns dict of scalars over the masked pixels
-    (pooled over the batch, matching the reference which flattens gt[mask])."""
+    (pooled over the batch, matching the reference which flattens gt[mask]).
+
+    axis: data-parallel shard_map axis — masked sums psum across shards
+    (rag_tpu.parallel.axis) so the sharded global batch reproduces the
+    single-device pooled statistics exactly."""
+    from rag_tpu.parallel.axis import psum_if
+
     m = mask.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(m), 1.0)
+    n = jnp.maximum(psum_if(jnp.sum(m), axis), 1.0)
     eps = 1e-12
     p = jnp.maximum(pred, eps)
     g = jnp.maximum(gt, eps)
 
     def mmean(x):
-        return jnp.sum(x * m) / n
+        return psum_if(jnp.sum(x * m), axis) / n
 
     thresh = jnp.maximum(g / p, p / g)
     d1 = mmean((thresh < 1.25).astype(jnp.float32))

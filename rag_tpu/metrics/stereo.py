@@ -18,9 +18,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _per_image(vals, weights):
-    total = jnp.sum(weights)
-    return jnp.where(total > 0, jnp.sum(vals * weights) / jnp.maximum(total, 1), 0.0)
+def _per_image(vals, weights, axis=None):
+    """Weighted mean over kept images. axis: data-parallel shard_map axis —
+    numerator and denominator psum across shards so the sharded batch
+    reproduces the single-device per-image average exactly."""
+    from rag_tpu.parallel.axis import psum_if
+
+    total = psum_if(jnp.sum(weights), axis)
+    num = psum_if(jnp.sum(vals * weights), axis)
+    return jnp.where(total > 0, num / jnp.maximum(total, 1), 0.0)
 
 
 def _image_weights(d_gt, mask):
@@ -45,32 +51,32 @@ def _masked_image_mean(x, mask):
     return jnp.sum(x * m, axis=axes) / denom
 
 
-def d1_metric(d_est, d_gt, mask):
+def d1_metric(d_est, d_gt, mask, axis=None):
     """(B,H,W) arrays -> scalar D1-all fraction (per-image averaged)."""
     err = jnp.abs(d_gt - d_est)
     bad = (err > 3.0) & (err / jnp.maximum(jnp.abs(d_gt), 1e-12) > 0.05)
     per_img = _masked_image_mean(bad.astype(jnp.float32), mask)
-    return _per_image(per_img, _image_weights(d_gt, mask))
+    return _per_image(per_img, _image_weights(d_gt, mask), axis)
 
 
-def thres_metric(d_est, d_gt, mask, tau):
+def thres_metric(d_est, d_gt, mask, tau, axis=None):
     err = jnp.abs(d_gt - d_est)
     per_img = _masked_image_mean((err > tau).astype(jnp.float32), mask)
-    return _per_image(per_img, _image_weights(d_gt, mask))
+    return _per_image(per_img, _image_weights(d_gt, mask), axis)
 
 
-def epe_metric(d_est, d_gt, mask):
+def epe_metric(d_est, d_gt, mask, axis=None):
     err = jnp.abs(d_gt - d_est)
     per_img = _masked_image_mean(err, mask)
-    return _per_image(per_img, _image_weights(d_gt, mask))
+    return _per_image(per_img, _image_weights(d_gt, mask), axis)
 
 
-def stereo_metrics(d_est, d_gt, mask):
+def stereo_metrics(d_est, d_gt, mask, axis=None):
     """All standard scalars in one jit-able dict."""
     return {
-        "EPE": epe_metric(d_est, d_gt, mask),
-        "D1": d1_metric(d_est, d_gt, mask),
-        "Thres1": thres_metric(d_est, d_gt, mask, 1.0),
-        "Thres2": thres_metric(d_est, d_gt, mask, 2.0),
-        "Thres3": thres_metric(d_est, d_gt, mask, 3.0),
+        "EPE": epe_metric(d_est, d_gt, mask, axis),
+        "D1": d1_metric(d_est, d_gt, mask, axis),
+        "Thres1": thres_metric(d_est, d_gt, mask, 1.0, axis),
+        "Thres2": thres_metric(d_est, d_gt, mask, 2.0, axis),
+        "Thres3": thres_metric(d_est, d_gt, mask, 3.0, axis),
     }

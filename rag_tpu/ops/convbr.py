@@ -127,15 +127,28 @@ def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM,
 
     Stats and normalization math run in f32 regardless of the activation
     dtype (bf16 batch statistics drift); the output keeps x's dtype.
+
+    Inside a data-parallel shard_map (rag_tpu.parallel.axis.bn_collective
+    active at trace time) the batch statistics are pmean'd across the
+    shards, so training with a sharded global batch reproduces the
+    single-device batch statistics exactly.
     """
+    from rag_tpu.parallel.axis import bn_axis
+
+    ax = bn_axis() if train else None
+    nsh = 1 if ax is None else jax.lax.psum(1, ax)
     xf = x.astype(jnp.float32)
     if train and halves > 1:
         c = x.shape[-1]
         xh = xf.reshape((halves, x.shape[0] // halves) + x.shape[1:])
         axes_h = tuple(range(1, xh.ndim - 1))
         mean_h = jnp.mean(xh, axis=axes_h)                       # (halves, C)
-        var_h = jnp.mean(jnp.square(xh), axis=axes_h) - jnp.square(mean_h)
-        n = x.size // (halves * c)
+        msq_h = jnp.mean(jnp.square(xh), axis=axes_h)
+        if ax is not None:
+            mean_h = jax.lax.pmean(mean_h, ax)
+            msq_h = jax.lax.pmean(msq_h, ax)
+        var_h = msq_h - jnp.square(mean_h)
+        n = (x.size // (halves * c)) * nsh
         unbiased_h = var_h * (n / max(n - 1, 1))
         m, v = stats["mean"], stats["var"]
         for i in range(halves):  # the reference's sequential EMA order
@@ -150,8 +163,12 @@ def batch_norm(x, params, stats, train: bool, momentum: float = BN_MOMENTUM,
     axes = tuple(range(x.ndim - 1))
     if train:
         mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
-        n = x.size // x.shape[-1]
+        msq = jnp.mean(jnp.square(xf), axis=axes)
+        if ax is not None:
+            mean = jax.lax.pmean(mean, ax)
+            msq = jax.lax.pmean(msq, ax)
+        var = msq - jnp.square(mean)
+        n = (x.size // x.shape[-1]) * nsh
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,

@@ -26,13 +26,24 @@ def batch_norm_cf(x, params, stats, train: bool, momentum: float = BN_MOMENTUM):
 
     Stats and normalization in f32 (bf16 batch statistics drift); output
     keeps x's dtype (bf16-at-rest policy, rag_tpu.ops.precision)."""
+    from rag_tpu.parallel.axis import bn_axis
+
     axes = (0, 1, 3, 4)
     shape = (1, 1, -1, 1, 1)
     xf = x.astype(jnp.float32)
     if train:
+        # cross-shard batch statistics under a data-parallel shard_map
+        # (rag_tpu.parallel.axis): pmean makes the sharded global batch
+        # reproduce single-device statistics exactly
+        ax = bn_axis()
         mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
-        n = x.size // x.shape[2]
+        msq = jnp.mean(jnp.square(xf), axis=axes)
+        if ax is not None:
+            mean = jax.lax.pmean(mean, ax)
+            msq = jax.lax.pmean(msq, ax)
+        var = msq - jnp.square(mean)
+        n = (x.size // x.shape[2]) * (1 if ax is None
+                                      else jax.lax.psum(1, ax))
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,

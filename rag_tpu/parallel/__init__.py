@@ -1,2 +1,5 @@
 from rag_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from rag_tpu.parallel.sharded import make_sharded_train_step, make_sharded_eval_step
+
+# NOTE: rag_tpu.parallel.sharded imports the trainer (which imports
+# rag_tpu.parallel.axis) — import it as a submodule, not from here, to
+# keep the package root cycle-free.

@@ -100,12 +100,20 @@ class MultihostBatcher:
             process_count if process_count is not None else jax.process_count(),
         )
 
+    def __len__(self):
+        return len(self.dataset)
+
     def batches(self, global_batch_size: int, shuffle: bool, seed: int = 0,
-                drop_last: bool = True):
+                indices=None, drop_last: bool = True):
+        """indices: optional subset of dataset indices (search splits) —
+        each host takes its host_local_indices shard OF that subset."""
         assert global_batch_size % self.pc == 0, \
             (global_batch_size, self.pc)
         local_bs = global_batch_size // self.pc
-        own = host_local_indices(len(self.dataset), self.pi, self.pc)
+        n = len(self.dataset) if indices is None else len(indices)
+        own = host_local_indices(n, self.pi, self.pc)
+        if indices is not None:
+            own = np.asarray(indices)[own]
         for b in self.dataset.batches(local_bs, shuffle, seed=seed,
                                       indices=own, drop_last=drop_last):
             yield global_batch(b, self.mesh)

@@ -20,7 +20,6 @@ import numpy as np
 
 from rag_tpu.models.stereo import build_head_specs, build_site_specs, init_sites
 from rag_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from rag_tpu.parallel.sharded import make_sharded_train_step
 from rag_tpu.search.genotype import default_genotype
 from rag_tpu.train.trainer import make_optimizer
 
@@ -36,9 +35,17 @@ def _batch(rng, n, h, w):
 def measure_scaling(mesh_sizes: Sequence[int] = (1, 2, 4, 8),
                     batch_per_chip: int = 2, hw=(48, 96),
                     steps: int = 8, warmup: int = 2) -> List[Dict]:
-    """Per mesh size: jit the dp-sharded train step on the first n devices,
-    run `steps` steps at global batch n*batch_per_chip, report
-    pairs/s and efficiency vs the 1-device number (weak scaling)."""
+    """Per mesh size: build the DRIVER's dp train step (the same
+    ContinualDriver._ft_steps constructor the canonical experiment trains
+    with) on the first n devices, run `steps` steps at global batch
+    n*batch_per_chip, report pairs/s and efficiency vs the 1-device
+    number (weak scaling)."""
+    from rag_tpu.continual.driver import (
+        ContinualDriver,
+        ExperimentConfig,
+        TrainConfig,
+    )
+
     h, w = hw
     g = default_genotype()
     specs = {**build_site_specs(g), **build_head_specs()}
@@ -51,10 +58,15 @@ def measure_scaling(mesh_sizes: Sequence[int] = (1, 2, 4, 8),
     for n in mesh_sizes:
         if n > len(devices):
             continue
-        mesh = make_mesh(data=n, model=1, devices=devices[:n])
-        step = make_sharded_train_step(mesh, specs, bn, opt)
+        gb_n = n * batch_per_chip
+        driver = ContinualDriver(
+            ExperimentConfig(train=TrainConfig(batch=gb_n), mesh_data=n),
+            log=None)
+        mesh = driver.mesh or make_mesh(data=1, model=1,
+                                        devices=devices[:1])
+        step, _ = driver._ft_steps(specs, bn, opt)
         rng = np.random.default_rng(0)
-        gb = n * batch_per_chip
+        gb = gb_n
         batch = shard_batch(_batch(rng, gb, h, w), mesh)
         p = replicate(params, mesh)
         s = replicate(stats, mesh)

@@ -73,22 +73,23 @@ class OpSearchConfig:
     split_frac: float = 0.5
 
 
-def _stereo_steps(specs, trainable, optimizer, maxdisp):
+def _stereo_steps(specs, trainable, optimizer, maxdisp, mesh=None):
     return (make_train_step(specs, frozenset(), optimizer,
-                            trainable_sites=trainable, maxdisp=maxdisp),
-            make_eval_step(specs, maxdisp=maxdisp))
+                            trainable_sites=trainable, maxdisp=maxdisp,
+                            mesh=mesh),
+            make_eval_step(specs, maxdisp=maxdisp, mesh=mesh))
 
 
 def _stereo_args(batch):
     return (batch["left"], batch["right"], batch["disparity"])
 
 
-def _depth_steps(specs, trainable, optimizer, maxdisp):
+def _depth_steps(specs, trainable, optimizer, maxdisp, mesh=None):
     from rag_tpu.train.trainer import make_depth_eval_step, make_depth_train_step
 
     return (make_depth_train_step(specs, frozenset(), optimizer,
-                                  trainable_sites=trainable),
-            make_depth_eval_step(specs))
+                                  trainable_sites=trainable, mesh=mesh),
+            make_depth_eval_step(specs, mesh=mesh))
 
 
 def _depth_args(batch):
@@ -135,10 +136,12 @@ class OpSearch:
     """Runs the reuse-vs-new search for task t on an expanded net."""
 
     def __init__(self, net: GrowableStereoNet, config: OpSearchConfig,
-                 log: Optional[Callable] = print, variant: str = "stereo"):
+                 log: Optional[Callable] = print, variant: str = "stereo",
+                 mesh=None):
         self.net = net
         self.cfg = config
         self.log = log or (lambda *_: None)
+        self.mesh = mesh  # dp mesh: sampled paths stay host-side/replicated
         self._step_cache = {}
         self._make_steps, self._batch_args = VARIANTS[variant]
 
@@ -151,7 +154,8 @@ class OpSearch:
             # bn_sites=∅: ALL BatchNorms frozen during op search
             train_step, eval_step = self._make_steps(specs, trainable,
                                                      optimizer,
-                                                     self.cfg.maxdisp)
+                                                     self.cfg.maxdisp,
+                                                     mesh=self.mesh)
             self._step_cache[key] = (train_step, eval_step, optimizer)
         return self._step_cache[key]
 

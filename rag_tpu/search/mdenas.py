@@ -67,11 +67,19 @@ class CellSearchConfig:
 
 class CellSearch:
     """Searches one Genotype per task on a fresh supernet (the reference
-    throws the supernet away between tasks, rag.py:224)."""
+    throws the supernet away between tasks, rag.py:224).
 
-    def __init__(self, config: CellSearchConfig, log: Optional[Callable] = print):
+    mesh: optional dp mesh — the supernet train/eval steps run shard_map'd
+    over 'data' with exact single-device semantics (grads psum'd, BN batch
+    stats pmean'd, masked losses/metrics psum'd by parts; see
+    rag_tpu.parallel.axis). The sampled ops stay replicated host-side
+    numpy, so every shard trains the SAME single path."""
+
+    def __init__(self, config: CellSearchConfig, log: Optional[Callable] = print,
+                 mesh=None):
         self.cfg = config
         self.log = log or (lambda *_: None)
+        self.mesh = mesh
         key = jax.random.PRNGKey(config.seed)
         self.params, self.stats = self._init_net(key)
         self.optimizer = make_optimizer(config.weight_decay, config.grad_clip)
@@ -97,40 +105,54 @@ class CellSearch:
         return 1.0 - min(max(vm.get("D1", 1.0), 0.0), 1.0)
 
     def _make_train_step(self):
+        from rag_tpu.parallel.axis import bn_collective, data_axis, shard_jit
+
         optimizer = self.optimizer
         maxdisp = self.cfg.maxdisp
+        axis = data_axis(self.mesh)
 
-        @jax.jit
         def step(params, stats, opt_state, lr, left, right, disp_gt,
                  fea_ops, mat_ops):
             def loss_fn(p):
                 disp, new_stats = supernet_forward(
                     p, stats, left, right, fea_ops, mat_ops, train=True,
                     maxdisp=maxdisp)
-                loss, mask = supervised_loss(disp, disp_gt, maxdisp)
+                loss, mask = supervised_loss(disp, disp_gt, maxdisp,
+                                             axis=axis)
                 return loss, (disp, new_stats, mask)
 
-            (loss, (disp, new_stats, mask)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            with bn_collective(axis):
+                (loss, (disp, new_stats, mask)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+            if axis is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.psum(g, axis), grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda q, u: q - lr * u, params, updates)
-            scalars = {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+            scalars = {"loss": loss,
+                       **stereo_metrics(disp, disp_gt, mask, axis)}
             return params, new_stats, opt_state, scalars
 
-        return step
+        if axis is None:
+            return jax.jit(step)
+        return shard_jit(self.mesh, step, "rrrsdddrr")
 
     def _make_eval_step(self):
-        maxdisp = self.cfg.maxdisp
+        from rag_tpu.parallel.axis import data_axis, shard_jit
 
-        @jax.jit
+        maxdisp = self.cfg.maxdisp
+        axis = data_axis(self.mesh)
+
         def step(params, stats, left, right, disp_gt, fea_ops, mat_ops):
             disp, _ = supernet_forward(
                 params, stats, left, right, fea_ops, mat_ops, train=False,
                 maxdisp=maxdisp)
-            loss, mask = supervised_loss(disp, disp_gt, maxdisp)
-            return {"loss": loss, **stereo_metrics(disp, disp_gt, mask)}
+            loss, mask = supervised_loss(disp, disp_gt, maxdisp, axis=axis)
+            return {"loss": loss, **stereo_metrics(disp, disp_gt, mask, axis)}
 
-        return step
+        if axis is None:
+            return jax.jit(step)
+        return shard_jit(self.mesh, step, "rrdddrr")
 
     def genotype(self) -> Genotype:
         return parse_genotype(self.p["normal"], self.p["reduce"])
@@ -322,40 +344,53 @@ class DepthCellSearch(CellSearch):
     def _make_train_step(self):
         from rag_tpu.metrics.depth import depth_metrics
         from rag_tpu.models.supernet import depth_supernet_forward
+        from rag_tpu.parallel.axis import bn_collective, data_axis, shard_jit
         from rag_tpu.train.losses import silog_loss
 
         optimizer = self.optimizer
+        axis = data_axis(self.mesh)
 
-        @jax.jit
         def step(params, stats, opt_state, lr, image, depth_gt,
                  fea_ops, mat_ops):
             def loss_fn(p):
                 pred, new_stats = depth_supernet_forward(
                     p, stats, image, fea_ops, mat_ops, train=True)
                 mask = depth_gt > 0
-                return silog_loss(pred, depth_gt, mask), (pred, new_stats, mask)
+                loss = silog_loss(pred, depth_gt, mask, axis=axis)
+                return loss, (pred, new_stats, mask)
 
-            (loss, (pred, new_stats, mask)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            with bn_collective(axis):
+                (loss, (pred, new_stats, mask)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+            if axis is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.psum(g, axis), grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda q, u: q - lr * u,
                                             params, updates)
-            scalars = {"loss": loss, **depth_metrics(pred, depth_gt, mask)}
+            scalars = {"loss": loss,
+                       **depth_metrics(pred, depth_gt, mask, axis)}
             return params, new_stats, opt_state, scalars
 
-        return step
+        if axis is None:
+            return jax.jit(step)
+        return shard_jit(self.mesh, step, "rrrsddrr")
 
     def _make_eval_step(self):
         from rag_tpu.metrics.depth import depth_metrics
         from rag_tpu.models.supernet import depth_supernet_forward
+        from rag_tpu.parallel.axis import data_axis, shard_jit
         from rag_tpu.train.losses import silog_loss
 
-        @jax.jit
+        axis = data_axis(self.mesh)
+
         def step(params, stats, image, depth_gt, fea_ops, mat_ops):
             pred, _ = depth_supernet_forward(
                 params, stats, image, fea_ops, mat_ops, train=False)
             mask = depth_gt > 0
-            loss = silog_loss(pred, depth_gt, mask)
-            return {"loss": loss, **depth_metrics(pred, depth_gt, mask)}
+            loss = silog_loss(pred, depth_gt, mask, axis=axis)
+            return {"loss": loss, **depth_metrics(pred, depth_gt, mask, axis)}
 
-        return step
+        if axis is None:
+            return jax.jit(step)
+        return shard_jit(self.mesh, step, "rrddrr")

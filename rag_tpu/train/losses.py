@@ -16,21 +16,32 @@ import jax
 import jax.numpy as jnp
 
 
-def smooth_l1_masked(pred, target, mask, beta: float = 1.0):
-    """Masked mean smooth-L1 (torch F.smooth_l1_loss semantics, beta=1)."""
+def smooth_l1_masked(pred, target, mask, beta: float = 1.0, axis=None):
+    """Masked mean smooth-L1 (torch F.smooth_l1_loss semantics, beta=1).
+
+    axis: data-parallel shard_map axis name — the masked sums reduce
+    across the shards so the sharded global batch yields the exact
+    single-device loss (rag_tpu.parallel.axis)."""
+    from rag_tpu.parallel.axis import psum_if
+
     diff = jnp.abs(pred - target)
     loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
     m = mask.astype(loss.dtype)
-    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num = psum_if(jnp.sum(loss * m), axis)
+    den = psum_if(jnp.sum(m), axis)
+    return num / jnp.maximum(den, 1.0)
 
 
-def silog_loss(depth_est, depth_gt, mask, variance_focus: float = 0.85):
+def silog_loss(depth_est, depth_gt, mask, variance_focus: float = 0.85,
+               axis=None):
     """Scale-invariant log loss over the masked pixels."""
+    from rag_tpu.parallel.axis import psum_if
+
     m = mask.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(m), 1.0)
+    n = jnp.maximum(psum_if(jnp.sum(m), axis), 1.0)
     d = (jnp.log(jnp.maximum(depth_est, 1e-8)) - jnp.log(jnp.maximum(depth_gt, 1e-8))) * m
-    mean_sq = jnp.sum(d * d) / n
-    mean = jnp.sum(d) / n
+    mean_sq = psum_if(jnp.sum(d * d), axis) / n
+    mean = psum_if(jnp.sum(d), axis) / n
     return jnp.sqrt(jnp.maximum(mean_sq - variance_focus * mean * mean, 1e-12)) * 10.0
 
 
@@ -75,11 +86,13 @@ def ssim(x, y):
     return jnp.clip((1.0 - num / den) / 2.0, 0.0, 1.0)
 
 
-def photometric_loss(disp_est, left, right):
+def photometric_loss(disp_est, left, right, axis=None):
     """0.85*SSIM + 0.15*L1 reconstruction + 0.1*edge-aware smoothness.
 
-    disp_est: (B,H,W); left/right: (B,H,W,C).
+    disp_est: (B,H,W); left/right: (B,H,W,C). All terms are plain means
+    over equal-sized shards, so the data-parallel reduction is a pmean.
     """
+    from rag_tpu.parallel.axis import pmean_if
     left_est, _ = warp_by_disparity(right, disp_est)
     recon = 0.85 * jnp.mean(ssim(left, left_est)) + 0.15 * jnp.mean(
         jnp.abs(left - left_est)
@@ -93,4 +106,4 @@ def photometric_loss(disp_est, left, right):
     wx = jnp.exp(-jnp.abs(igx))
     wy = jnp.exp(-jnp.abs(igy))
     smooth = jnp.mean(jnp.abs(dgx) * wx) + jnp.mean(jnp.abs(dgy) * wy)
-    return recon + 0.1 * smooth
+    return pmean_if(recon + 0.1 * smooth, axis)
