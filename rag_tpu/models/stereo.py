@@ -243,7 +243,28 @@ def run_matching_cf(specs, params, stats, cost, train_sites, new_stats,
     spec0 = specs["stem_3d0"]
     std_stem = (not isinstance(spec0, CellSpec) and spec0.kernel == 3
                 and spec0.stride == 1 and spec0.bn and spec0.relu)
-    if fused_stem_inputs is not None and _fused_stem_ok(spec0):
+    use_shear_branch = False
+    if fused_stem_inputs is not None and std_stem:
+        from rag_tpu.ops.pallas_shear import use_shear
+
+        x_probe = jnp.transpose(fused_stem_inputs[0], (0, 3, 1, 2))
+        use_shear_branch = use_shear(x_probe, spec0.cout)
+    if use_shear_branch:
+        # Pallas shear-collapse (RAG_TPU_CVSTEM_SHEAR=1): the stem conv
+        # runs as 18 tiny (3,1) feature convs + in-VMEM masked lane rolls
+        # — ~30x fewer FLOPs than convolving the volume, which never
+        # exists in any form (rag_tpu.ops.pallas_shear)
+        from rag_tpu.ops.pallas_shear import shear_stem_z
+
+        x, y, nd = fused_stem_inputs
+        x_cf = jnp.transpose(x, (0, 3, 1, 2))
+        y_cf = jnp.transpose(y, (0, 3, 1, 2))
+        z = shear_stem_z(x_cf, y_cf, params["stem_3d0"]["w"], nd)
+        stem0, st = batch_norm_cf(z, params["stem_3d0"], stats["stem_3d0"],
+                                  "stem_3d0" in train_sites)
+        stem0 = jax.nn.relu(stem0)
+        new_stats["stem_3d0"] = st
+    elif fused_stem_inputs is not None and _fused_stem_ok(spec0):
         from rag_tpu.ops.fused_stem import cost_stem_z
 
         x, y, nd = fused_stem_inputs
