@@ -58,7 +58,9 @@ class SyntheticDepthDataset:
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 indices=None, drop_last: bool = True):
-        data = self._samples()
+        from rag_tpu.data.synthetic import _maybe_device_cache
+
+        data = _maybe_device_cache(self)  # relay transfer-leak mitigation
         idx = np.asarray(indices if indices is not None
                          else np.arange(self.num_samples))
         if shuffle:

@@ -132,7 +132,7 @@ class SyntheticStereoDataset:
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 indices=None, drop_last: bool = True) -> Iterator[Dict]:
-        data = self._samples()
+        data = _maybe_device_cache(self)
         idx = np.asarray(indices if indices is not None
                          else np.arange(self.num_samples))
         if shuffle:
@@ -142,3 +142,37 @@ class SyntheticStereoDataset:
         for i in range(0, stop, batch_size):
             sel = idx[i:i + batch_size]
             yield {k: v[sel] for k, v in data.items()}
+
+
+def _use_device_cache() -> bool:
+    """Device-resident sample caching for the fixed synthetic sets.
+
+    Through the axon relay, every fresh host->device batch transfer is
+    RETAINED until process exit (measured ~8 MB/step — a 400-epoch run
+    leaked ~60 GB of host RSS and crawled to a halt; probes in round 4's
+    BASELINE.md row). The samples are a fixed set revisited every epoch,
+    so they live on the device once and batches are on-device gathers —
+    compute results, which do not leak. CPU backends (tests) keep the
+    plain numpy path; RAG_TPU_DEVICE_DATA=0 disables.
+    """
+    import os
+
+    if os.environ.get("RAG_TPU_DEVICE_DATA", "1") != "1":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _maybe_device_cache(ds):
+    """ds must expose _samples() and may grow a _dev_cache attribute."""
+    if not _use_device_cache():
+        return ds._samples()
+    if getattr(ds, "_dev_cache", None) is None:
+        import jax.numpy as jnp
+
+        ds._dev_cache = {k: jnp.asarray(v) for k, v in ds._samples().items()}
+    return ds._dev_cache
