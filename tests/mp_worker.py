@@ -10,6 +10,7 @@ import sys
 
 proc_id, n_procs, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                     sys.argv[3], sys.argv[4])
+mode = sys.argv[5] if len(sys.argv) > 5 else "gspmd"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -49,13 +50,29 @@ specs = {**build_site_specs(g), **build_head_specs()}
 params, stats = init_sites(jax.random.PRNGKey(0), specs)
 opt = make_optimizer(3e-4, 5.0)
 
-# dp x sp across process boundaries: data=4, model=2 over 8 global devices
-mesh = make_mesh(data=4, model=2)
-step = make_sharded_train_step(mesh, specs, frozenset(specs), opt)
-
 data = SyntheticStereoDataset(8, 24, 48, seed=7, max_disp=12.0)
-batcher = MultihostBatcher(data, mesh)
-batch = next(batcher.batches(8, shuffle=False, seed=0))
+
+if mode == "driver_dp":
+    # the DRIVER's own pure-dp shard_map path across process boundaries:
+    # ContinualDriver._ft_steps + _dist_data (MultihostBatcher feeding)
+    from rag_tpu.continual.driver import (
+        ContinualDriver,
+        ExperimentConfig,
+        TrainConfig,
+    )
+
+    cfg = ExperimentConfig(train=TrainConfig(batch=8), mesh_data=8,
+                           maxdisp=48)
+    driver = ContinualDriver(cfg, log=None)
+    mesh = driver.mesh
+    step, _ = driver._ft_steps(specs, frozenset(specs), opt)
+    batch = next(driver._dist_data(data).batches(8, shuffle=False, seed=0))
+else:
+    # dp x sp across process boundaries: data=4, model=2 over 8 devices
+    mesh = make_mesh(data=4, model=2)
+    step = make_sharded_train_step(mesh, specs, frozenset(specs), opt)
+    batcher = MultihostBatcher(data, mesh)
+    batch = next(batcher.batches(8, shuffle=False, seed=0))
 
 p = replicate(params, mesh)
 s = replicate(stats, mesh)

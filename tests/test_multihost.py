@@ -51,18 +51,14 @@ def test_global_batch_single_process():
     np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
 
 
-@pytest.mark.slow
-def test_two_process_cpu_launch(tmp_path):
-    """2 processes x 4 CPU devices: jax.distributed + cross-process psum
-    through a real sharded train step. Both processes must produce the
-    same finite loss."""
+def _launch_two_procs(tmp_path, port, mode):
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    port = "12731"
     outs = [str(tmp_path / f"out{i}.txt") for i in range(2)]
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [
-        subprocess.Popen([sys.executable, worker, str(i), "2", port, outs[i]],
+        subprocess.Popen([sys.executable, worker, str(i), "2", port,
+                          outs[i], mode],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT)
         for i in range(2)
@@ -76,3 +72,20 @@ def test_two_process_cpu_launch(tmp_path):
     losses = [float(open(o).read().strip()) for o in outs]
     assert np.isfinite(losses).all()
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+
+@pytest.mark.slow
+def test_two_process_cpu_launch(tmp_path):
+    """2 processes x 4 CPU devices: jax.distributed + cross-process psum
+    through a real sharded train step. Both processes must produce the
+    same finite loss."""
+    _launch_two_procs(tmp_path, "12731", "gspmd")
+
+
+@pytest.mark.slow
+def test_two_process_driver_dp_launch(tmp_path):
+    """Same launch through the DRIVER's own pure-dp path: the shard_map
+    step from ContinualDriver._ft_steps(mesh_data=8) fed by
+    driver._dist_data's MultihostBatcher — the exact multi-host pipeline
+    a real pod-slice run would execute."""
+    _launch_two_procs(tmp_path, "12733", "driver_dp")
