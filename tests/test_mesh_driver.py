@@ -64,6 +64,32 @@ def test_mesh_driver_matches_single_device():
         assert np.allclose(a, b, rtol=1e-3, atol=2e-3), (k, a, b)
 
 
+@pytest.mark.slow
+def test_mesh_depth_driver_matches_single_device():
+    from rag_tpu.continual.depth_driver import (
+        DepthContinualDriver,
+        SyntheticDepthDataset,
+    )
+
+    def run(mesh_data):
+        cfg = ExperimentConfig(
+            cell=CellSearchConfig(epochs=1, batch=8, seed=0),
+            op=OpSearchConfig(epochs=1, batch=8, o_size=2, seed=0),
+            train=TrainConfig(epochs=1, batch=8),
+            num_tasks=2, seed=0, mesh_data=mesh_data)
+        driver = DepthContinualDriver(cfg, log=None)
+        mk = lambda s: SyntheticDepthDataset(16, 24, 48, seed=s)
+        train = [mk(10 + t) for t in range(2)]
+        valid = [mk(20 + t) for t in range(2)]
+        test = [mk(30 + t) for t in range(2)]
+        return driver.run(train, valid, test)
+
+    m1, m4 = run(1), run(4)
+    for k in ("silog", "d1", "loss"):
+        assert np.allclose(m1.m[k], m4.m[k], rtol=1e-3, atol=2e-3), \
+            (k, m1.m[k], m4.m[k])
+
+
 def test_mesh_indivisible_batch_falls_back():
     # batch 6 over mesh_data=4 cannot shard: the driver must log a
     # fallback and still run (single-device steps)
@@ -76,6 +102,46 @@ def test_mesh_indivisible_batch_falls_back():
     driver = ContinualDriver(cfg, log=None)
     assert driver._mesh_for(6, "fine-tune") is None
     assert driver._mesh_for(8, "fine-tune") is driver.mesh
+
+
+def test_selfsup_step_mesh_matches_single():
+    # photometric loss under dp: plain means over equal shards -> pmean
+    import jax
+
+    from rag_tpu.models.stereo import (
+        build_head_specs,
+        build_site_specs,
+        init_sites,
+    )
+    from rag_tpu.parallel.mesh import make_mesh
+    from rag_tpu.search.genotype import default_genotype
+    from rag_tpu.train.trainer import make_optimizer, make_selfsup_train_step
+
+    g = default_genotype()
+    specs = {**build_site_specs(g), **build_head_specs()}
+    params, stats = init_sites(jax.random.PRNGKey(0), specs)
+    opt = make_optimizer(3e-4, 5.0)
+    rng = np.random.default_rng(0)
+    left = rng.standard_normal((8, 24, 48, 3)).astype(np.float32)
+    right = rng.standard_normal((8, 24, 48, 3)).astype(np.float32)
+    gt = rng.uniform(1, 12, (8, 24, 48)).astype(np.float32)
+
+    outs = []
+    for mesh in (None, make_mesh(data=4, model=1,
+                                 devices=jax.devices()[:4])):
+        step = make_selfsup_train_step(specs, frozenset(specs), opt,
+                                       maxdisp=48, mesh=mesh)
+        p, s, o, sc = step(params, stats, opt.init(params), 1e-3,
+                           left, right, gt)
+        outs.append((p, sc))
+    (p1, sc1), (p4, sc4) = outs
+    assert np.allclose(float(sc1["loss"]), float(sc4["loss"]), rtol=1e-5)
+    # post-SGD params: psum'd grads reassociate the fp reductions of the
+    # warp/SSIM chains, so parity is close-but-not-bitwise
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+                           rtol=1e-3, atol=1e-4)
 
 
 def test_cli_mesh_flag_threads_into_config():
