@@ -603,13 +603,18 @@ class ContinualDriver:
             size_m = self.net.size_m()
             self.log(f">>> model size after task {t}: {size_m:.4f} M params")
             self.writer.scalars("model", {"size_m": size_m}, step=t)
-            if self.cfg.use_router:
-                self.train_router(t, train_datasets, test_datasets)
             if self.checkpoint_dir:
+                # task_done lands BEFORE router training: the fine-tune's
+                # mid-stage file is already deleted at this point, so a
+                # kill during the (minutes-long) router stage must not
+                # fall back to the pre-fine-tune "selected" checkpoint
+                # and redo the whole stage
                 from rag_tpu.continual.state import save_checkpoint
                 save_checkpoint(self.checkpoint_dir, self.net, task=t,
                                 extra=self._ckpt_extra(stage="task_done"))
-                if self.router is not None:
+            if self.cfg.use_router:
+                self.train_router(t, train_datasets, test_datasets)
+                if self.checkpoint_dir and self.router is not None:
                     from rag_tpu.continual.state import save_router
                     save_router(self.checkpoint_dir, self.router)
         if self.cfg.use_router and self.router is not None:
