@@ -134,6 +134,15 @@ class ContinualDriver:
         self.matrix = ForgettingMatrix(config.num_tasks,
                                        ("D1", "EPE", "loss", "Thres1"))
         self._eval_cache = {}
+        # completed forgetting-row evals, {t: {u: {metric: float}}} —
+        # persisted in every checkpoint's extra so a resumed slice never
+        # re-runs a (t, u) eval whose result is already on disk (the r4
+        # canonical run's post-wedge slices re-evaluated finished rows)
+        self._eval_rows = {}
+        # resume bookkeeping: the restored checkpoint's stage + task, so
+        # train_task can skip a fine-tune that already completed
+        self._resume_stage: Optional[str] = None
+        self._resume_task: Optional[int] = None
         self.mesh = None
         if config.mesh_data * config.mesh_model > 1:
             from rag_tpu.parallel.mesh import make_mesh
@@ -334,6 +343,15 @@ class ContinualDriver:
         implementation for every variant — the deltas live in the _op_*/
         _pre_finetune/_ft_* hooks."""
         if self.net is not None and len(self.net.archis) > t:
+            if self._resume_stage == "trained" and self._resume_task == t:
+                # fine-tune completed and was written back before the
+                # kill; only the forgetting-row evals remain (run() does
+                # them). Re-entering fine_tune here would restart the
+                # stage from epoch 0 — its mid-stage file is gone.
+                self._resume_stage = None
+                self.log(f"[task {t}] resumed post-fine-tune; "
+                         f"evaluation only")
+                return
             # resumed mid-task AFTER select (archis[t] exists): the search
             # stages are done, go straight to the fine-tune stage.
             self.log(f"[task {t}] resumed post-select; fine-tune only")
@@ -430,6 +448,15 @@ class ContinualDriver:
                 return  # simulated kill (after the checkpoint write)
         params, stats = best
         net.write_back(arch, params, stats)
+        if self.checkpoint_dir:
+            # the fine-tune is DONE: persist it before deleting the
+            # mid-stage file. Without this, a kill in the window between
+            # stage-file deletion and the post-eval task_done save loses
+            # the whole stage — the r4 canonical run redid task 2's
+            # 60-epoch fine-tune from scratch twice for exactly this.
+            from rag_tpu.continual.state import save_checkpoint
+            save_checkpoint(self.checkpoint_dir, net, task=t,
+                            extra=self._ckpt_extra(stage="trained"))
         if ckpt and os.path.exists(ckpt):
             os.remove(ckpt)
 
@@ -465,6 +492,8 @@ class ContinualDriver:
         self.router.train(train_datasets[:t + 1],
                           epochs=self.cfg.router_epochs,
                           batch=self.cfg.router_batch, log=self.log)
+        self.router.trained_task = t  # persisted by save_router: lets a
+        # resume detect a router.npz staler than the latest task_done
         acc = self.router.accuracy(test_datasets[:t + 1])
         self.log(f"[router] after task {t}: scene accuracy {100*acc:.1f}%")
         self.writer.scalars("router", {"accuracy": acc}, step=t)
@@ -533,7 +562,10 @@ class ContinualDriver:
 
     def _ckpt_extra(self, stage: str) -> dict:
         return {"stage": stage,
-                "matrix": {k: v.tolist() for k, v in self.matrix.m.items()}}
+                "matrix": {k: v.tolist() for k, v in self.matrix.m.items()},
+                "eval_rows": {str(t): {str(u): dict(s)
+                                       for u, s in row.items()}
+                              for t, row in self._eval_rows.items()}}
 
     def resume(self) -> int:
         """Restore the net + forgetting matrix from the latest checkpoint.
@@ -557,13 +589,22 @@ class ContinualDriver:
                     n = min(arr.shape[0], self.matrix.num_tasks)
                     self.matrix.m[k][:n, :n] = arr[:n, :n]
         stage = manifest.get("extra", {}).get("stage", "task_done")
+        rows = manifest.get("extra", {}).get("eval_rows") or {}
+        self._eval_rows = {int(tk): {int(uk): dict(s)
+                                     for uk, s in row.items()}
+                           for tk, row in rows.items()}
         if self.cfg.use_router:
             from rag_tpu.continual.state import load_router
 
             self.router = load_router(self.checkpoint_dir)
         self.log(f"[resume] restored task {t} ({stage}) "
                  f"from {self.checkpoint_dir}")
-        return t if stage == "selected" else t + 1
+        self._resume_stage, self._resume_task = stage, t
+        # "selected": re-enter task t at the fine-tune stage;
+        # "trained": re-enter task t at the forgetting-row eval only
+        # (fine-tune completed and was written back before the kill);
+        # "task_done": task t fully finished, start at t+1.
+        return t if stage in ("selected", "trained") else t + 1
 
     def _dist_data(self, ds):
         """Multi-host feeding: each host reads only its shard of the
@@ -582,13 +623,40 @@ class ContinualDriver:
         train_datasets = [self._dist_data(d) for d in train_datasets]
         valid_datasets = [self._dist_data(d) for d in valid_datasets]
         start = self.resume() if resume else 0
+        if resume and self.cfg.use_router and start > 1:
+            # a kill during a task's router stage resumes past train_router
+            # (task_done predates it by design); detect the stale router
+            # via its persisted trained_task marker and catch up, so the
+            # final routed-vs-oracle report never uses a router from an
+            # earlier task (or none at all)
+            done = getattr(self.router, "trained_task", -1) \
+                if self.router is not None else -1
+            if done < start - 1:
+                self.log(f"[router] router.npz trained through task {done} "
+                         f"< completed task {start - 1}; re-training")
+                self.train_router(start - 1, train_datasets, test_datasets)
+                if self.checkpoint_dir and self.router is not None:
+                    from rag_tpu.continual.state import save_router
+                    save_router(self.checkpoint_dir, self.router)
         if self.cfg.scene_parallel_search:
             self.parallel_cell_search(train_datasets)
         for t in range(start, self.cfg.num_tasks):
             self.log("*" * 60 + f"\nTask {t}\n" + "*" * 60)
             self.train_task(t, train_datasets[t], valid_datasets[t])
+            row = self._eval_rows.setdefault(t, {})
             for u in range(t + 1):
-                scalars = self.evaluate(u, test_datasets[u])
+                if u in row:
+                    # this (t, u) eval already ran in a previous slice and
+                    # its result is in the restored checkpoint — record it
+                    # into the matrix without re-running (and without a
+                    # duplicate tag="test" event)
+                    self.matrix.record(t, u, row[u])
+                    self.log(f">>> after task {t}: test task {u} "
+                             f"(cached from resumed checkpoint)")
+                    continue
+                scalars = {k: float(v) for k, v in
+                           self.evaluate(u, test_datasets[u]).items()}
+                row[u] = scalars
                 self.matrix.record(t, u, scalars)
                 if "D1" in scalars:
                     head = (f"D1 {100*scalars['D1']:.2f}% "
@@ -600,6 +668,13 @@ class ContinualDriver:
                 self.writer.scalars("test", {f"task{u}_{k}": v
                                              for k, v in scalars.items()},
                                     step=t)
+                if self.checkpoint_dir:
+                    # per-eval progress: manifest-only rewrite (arrays for
+                    # task t are already on disk from the "trained" save)
+                    from rag_tpu.continual.state import save_checkpoint
+                    save_checkpoint(self.checkpoint_dir, self.net, task=t,
+                                    extra=self._ckpt_extra(stage="trained"),
+                                    manifest_only=True)
             size_m = self.net.size_m()
             self.log(f">>> model size after task {t}: {size_m:.4f} M params")
             self.writer.scalars("model", {"size_m": size_m}, step=t)

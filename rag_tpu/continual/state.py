@@ -62,10 +62,17 @@ def save_router(directory: str, router, name: str = "router.npz") -> None:
     """Persist the Scene Router (params + optimizer state) next to the task
     checkpoints. The router is task-count-global, so one file (overwritten
     per task) rather than per-task copies. ``name`` lets offline re-trains
-    land beside (not over) a committed canonical router artifact."""
+    land beside (not over) a committed canonical router artifact.
+
+    The file records ``trained_task`` — the last task the router was
+    trained after — so a resume can detect a router.npz that predates the
+    latest task_done checkpoint (a kill during the final task's router
+    stage must re-train, not silently report routed numbers from a stale
+    router)."""
     os.makedirs(directory, exist_ok=True)
     np.savez(os.path.join(directory, name),
              num_tasks=router.num_tasks, input_key=router.input_key,
+             trained_task=getattr(router, "trained_task", -1),
              **router.state_arrays())
 
 
@@ -80,11 +87,18 @@ def load_router(directory: str, name: str = "router.npz"):
     router = SceneRouter(int(data["num_tasks"]),
                          input_key=str(data.get("input_key", "left")))
     router.load_arrays(data)
+    router.trained_task = int(data.get("trained_task", -1))
     return router
 
 
 def save_checkpoint(directory: str, net: GrowableStereoNet, task: int,
-                    extra: Optional[Dict] = None):
+                    extra: Optional[Dict] = None,
+                    manifest_only: bool = False):
+    """``manifest_only`` rewrites just the JSON manifest (stage / matrix /
+    eval-row progress) when the arrays on disk are already current — used
+    by the per-eval progress saves in the driver's forgetting-row loop,
+    where re-serializing an unchanged arrays_task{t}.npz per eval would
+    dominate the save cost."""
     from rag_tpu.models.growable import GrowableDepthNet
 
     os.makedirs(directory, exist_ok=True)
@@ -101,6 +115,15 @@ def save_checkpoint(directory: str, net: GrowableStereoNet, task: int,
         "model_to_train": net.model_to_train,
         "extra": extra or {},
     }
+    if manifest_only:
+        path = os.path.join(directory, f"manifest_task{task}.json")
+        assert os.path.exists(
+            os.path.join(directory, f"arrays_task{task}.npz")), \
+            "manifest_only save requires the arrays file to already exist"
+        with open(path + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(path + ".tmp", path)
+        return
     arrays: Dict[str, np.ndarray] = {}
     for s in SITE_NAMES:
         for i, u in enumerate(net.units[s]):
