@@ -10,9 +10,14 @@ this module is both the missing load path and the hardest possible
 architecture-parity check: every tensor of the published state_dict must
 land, with the right shape, on a site of our rebuilt architecture.
 
-Reading is torch-free: a restricted unpickler (whitelisted symbols only)
-parses the legacy stream, so no arbitrary-code pickle risk and no torch
-dependency on the runtime path.
+Reading is torch-free and treats the artifact as untrusted: EVERY pickle
+in the stream is read restricted — the object-graph pickle through a
+whitelist of exactly the symbols a legacy state_dict needs, the four
+primitive header pickles (magic, protocol, sys_info, storage keys)
+through a no-symbols/no-persistent-id unpickler — and each tensor's
+offset/size/stride is bounds-checked against its storage before the
+strided view is built. No arbitrary-code pickle risk, no out-of-bounds
+reads, no torch dependency on the runtime path.
 
 Structural facts of the artifact (documented findings, pinned in
 tests/test_torch_import.py):
@@ -69,8 +74,30 @@ class _LazyTensor:
 
     def materialize(self, storages: Dict[str, bytes]) -> np.ndarray:
         flat = np.frombuffer(storages[self.key], dtype=self.dtype)
+        n = flat.shape[0]
+        # as_strided trusts its arguments completely, so every offset /
+        # size / stride from the (untrusted) pickle is bounds-checked
+        # against the storage before building the view — a corrupted
+        # artifact must fail loudly, not read out-of-bounds memory
+        if not (0 <= int(self.offset) < max(n, 1)):
+            raise ValueError(f"storage {self.key}: offset {self.offset} "
+                             f"outside {n}-element storage")
         if not self.size:
             return flat[self.offset].copy()
+        if len(self.stride) != len(self.size) or \
+                any(int(s) < 0 for s in self.size) or \
+                any(int(s) < 0 for s in self.stride):
+            raise ValueError(f"storage {self.key}: bad view geometry "
+                             f"size={self.size} stride={self.stride}")
+        if all(self.size):
+            last = int(self.offset) + sum(
+                (int(sz) - 1) * int(st)
+                for sz, st in zip(self.size, self.stride))
+            if last >= n:
+                raise ValueError(
+                    f"storage {self.key}: view reaches element {last} of a "
+                    f"{n}-element storage (offset={self.offset} "
+                    f"size={self.size} stride={self.stride})")
         itemsize = self.dtype.itemsize
         strides = tuple(s * itemsize for s in self.stride)
         view = np.lib.stride_tricks.as_strided(
@@ -115,6 +142,23 @@ class _RestrictedUnpickler(pickle.Unpickler):
         return (str(key), _STORAGE_DTYPES[stype[1]])
 
 
+class _HeaderUnpickler(pickle.Unpickler):
+    """For the stream's primitive-only pickles (magic number, protocol,
+    sys_info, storage keys): these carry ints / strings / dicts / lists
+    and nothing else, so NO symbols and NO persistent ids are allowed —
+    plain pickle.load here would hand an untrusted artifact arbitrary
+    code execution via GLOBAL/REDUCE before the restricted unpickler
+    ever ran."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"legacy header pickle: disallowed symbol {module}.{name}")
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(
+            "legacy header pickle: unexpected persistent id")
+
+
 def load_legacy_torch(path: str) -> Any:
     """Parse a legacy torch.save file; tensors come back as numpy arrays.
 
@@ -137,18 +181,24 @@ def load_legacy_torch(path: str) -> Any:
                 scan(v)
 
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _HeaderUnpickler(f).load()
         assert magic == 0x1950A86A20F9469CFC6C, hex(magic)
-        _protocol = pickle.load(f)
-        _sys_info = pickle.load(f)
+        _protocol = _HeaderUnpickler(f).load()
+        _sys_info = _HeaderUnpickler(f).load()
         obj = _RestrictedUnpickler(f).load()
         scan(obj)
-        keys: List[str] = pickle.load(f)
+        keys: List[str] = _HeaderUnpickler(f).load()
         raw: Dict[str, bytes] = {}
         for key in keys:
             (numel,) = struct.unpack("<q", f.read(8))
+            if numel < 0:
+                raise ValueError(f"storage {key}: negative numel {numel}")
             itemsize = dtypes[str(key)].itemsize
-            raw[str(key)] = f.read(numel * itemsize)
+            buf = f.read(numel * itemsize)
+            if len(buf) != numel * itemsize:
+                raise ValueError(f"storage {key}: truncated "
+                                 f"({len(buf)} of {numel * itemsize} bytes)")
+            raw[str(key)] = buf
 
     def materialize(o):
         if isinstance(o, _LazyTensor):

@@ -167,12 +167,42 @@ def _use_device_cache() -> bool:
         return False
 
 
+# process-wide budget for device-resident sample sets: a multi-task run
+# caches train+valid+test for every task concurrently (~2 GB per 256-pair
+# canonical stereo scene), so unbounded caching can eat the chip's HBM
+# where the old host-numpy path ran fine (ADVICE r4). Datasets over
+# budget fall back to host numpy batches with a one-time log line.
+_dev_cache_bytes = 0
+_dev_budget_warned = False
+
+
+def _device_data_budget() -> int:
+    import os
+
+    return int(float(os.environ.get("RAG_TPU_DEVICE_DATA_BUDGET_MB",
+                                    "6144")) * 2**20)
+
+
 def _maybe_device_cache(ds):
     """ds must expose _samples() and may grow a _dev_cache attribute."""
+    global _dev_cache_bytes, _dev_budget_warned
     if not _use_device_cache():
         return ds._samples()
     if getattr(ds, "_dev_cache", None) is None:
+        samples = ds._samples()
+        nbytes = sum(np.asarray(v).nbytes for v in samples.values())
+        if _dev_cache_bytes + nbytes > _device_data_budget():
+            if not _dev_budget_warned:
+                _dev_budget_warned = True
+                print(f"[data] device sample cache budget reached "
+                      f"({_dev_cache_bytes / 2**20:.0f} MB cached, "
+                      f"+{nbytes / 2**20:.0f} MB requested > "
+                      f"{_device_data_budget() / 2**20:.0f} MB; raise "
+                      f"RAG_TPU_DEVICE_DATA_BUDGET_MB to cache more) — "
+                      f"host numpy batches for further datasets")
+            return samples
         import jax.numpy as jnp
 
-        ds._dev_cache = {k: jnp.asarray(v) for k, v in ds._samples().items()}
+        ds._dev_cache = {k: jnp.asarray(v) for k, v in samples.items()}
+        _dev_cache_bytes += nbytes
     return ds._dev_cache

@@ -140,3 +140,37 @@ def test_growth_visible_across_artifacts():
             assert len(net.heads[h]) == t + 1
     assert all(a < b for a, b in zip(sizes, sizes[1:])), sizes
     assert all(a <= b for a, b in zip(cands, cands[1:])), cands
+
+
+def test_malicious_header_pickle_rejected(tmp_path):
+    """ADVICE r4 (high): the magic/protocol/sys_info/storage-keys pickles
+    used to go through plain pickle.load — a GLOBAL opcode there executed
+    code before the restricted unpickler ever ran. Every pickle in the
+    stream is now restricted: a crafted header must raise, not import."""
+    import pickle
+
+    from rag_tpu.compat.torch_import import load_legacy_torch
+
+    evil = tmp_path / "evil.ckpt"
+    # hand-assembled pickle: GLOBAL os.system, short string arg, REDUCE
+    evil.write_bytes(b"cos\nsystem\n(S'true'\ntR.")
+    with pytest.raises(pickle.UnpicklingError, match="disallowed symbol"):
+        load_legacy_torch(str(evil))
+
+
+def test_out_of_bounds_view_rejected():
+    """ADVICE r4 (high): offset/size/stride from the artifact are untrusted
+    — geometry reaching past the storage must raise, not read OOB."""
+    from rag_tpu.compat.torch_import import _LazyTensor
+
+    storage = {"k": np.arange(16, dtype="<f4").tobytes()}
+    dt = np.dtype("<f4")
+    # in-bounds view works
+    ok = _LazyTensor("k", dt, 2, (2, 3), (3, 1)).materialize(storage)
+    np.testing.assert_array_equal(ok, [[2, 3, 4], [5, 6, 7]])
+    with pytest.raises(ValueError, match="reaches element"):
+        _LazyTensor("k", dt, 2, (4, 4), (4, 1)).materialize(storage)
+    with pytest.raises(ValueError, match="offset"):
+        _LazyTensor("k", dt, 99, (2, 2), (2, 1)).materialize(storage)
+    with pytest.raises(ValueError, match="bad view geometry"):
+        _LazyTensor("k", dt, 0, (4,), (-1,)).materialize(storage)
