@@ -51,6 +51,32 @@ def test_two_task_continual_run():
 
 
 @pytest.mark.slow
+def test_driver_converges_on_learnable_scene():
+    """Convergence canary (VERDICT r4 #7): the full driver fine-tune must
+    reach an ABSOLUTE accuracy bar on a learnable synthetic scene — a
+    regression in loss masking, BN freezing, or the lr schedule would
+    otherwise only surface in the next multi-hour chip run.
+
+    Calibrated on CPU (round 5): 40 epochs / 16 pairs / 48x96 / maxdisp
+    48 reaches valid EPE ~3.8 px and D1 ~53% (from ~7 px / ~90%
+    untrained); thresholds carry ~30% margin. The converged on-chip
+    anchor is canonical_learn_r4 (mean D1 1.99% at full scale)."""
+    cfg = ExperimentConfig(
+        cell=CellSearchConfig(epochs=1, batch=2, seed=0),
+        op=OpSearchConfig(epochs=1, batch=2, o_size=1, seed=0),
+        train=TrainConfig(epochs=40, batch=4, lr=0.001),
+        num_tasks=1, seed=0, skip_cell_search=True, maxdisp=48,
+    )
+    mk = lambda s, n: SyntheticStereoDataset(n, 48, 96, seed=s,
+                                             max_disp=14.0)
+    driver = ContinualDriver(cfg, log=None)
+    matrix = driver.run([mk(10, 16)], [mk(20, 8)], [mk(30, 8)])
+    epe, d1 = matrix.m["EPE"][0, 0], matrix.m["D1"][0, 0]
+    assert epe < 5.5, f"convergence regression: test EPE {epe:.2f} >= 5.5"
+    assert d1 < 0.75, f"convergence regression: test D1 {d1:.3f} >= 0.75"
+
+
+@pytest.mark.slow
 def test_fixed_model_learns_synthetic():
     """EPE must drop when training the flagship on one synthetic scene —
     the integration oracle from SURVEY.md §7.6."""
