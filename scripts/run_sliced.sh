@@ -20,6 +20,10 @@
 #   MAX_SLICES  give up after this many slices (default 60)
 #   MAX_FAILS   consecutive non-timeout failures tolerated (default 3)
 #   MAX_STALLS  consecutive no-progress slices tolerated (default 2)
+#   STALL_COOLDOWN  seconds to sleep after a no-progress slice before
+#               retrying (default 300): a wedged relay session resets
+#               only after QUIET time — measured ~8 min on 2026-08-20;
+#               immediately respawning keeps it wedged
 #   LOG         run log (required; command stdout/stderr appends here)
 #   CKPT        checkpoint dir to watch for progress (optional)
 #
@@ -31,6 +35,7 @@ SLICE=${SLICE:-1500}
 MAX_SLICES=${MAX_SLICES:-60}
 MAX_FAILS=${MAX_FAILS:-3}
 MAX_STALLS=${MAX_STALLS:-2}
+STALL_COOLDOWN=${STALL_COOLDOWN:-300}
 LOG=${LOG:?usage: LOG=run.log [CKPT=dir] run_sliced.sh <command...>}
 CKPT=${CKPT:-}
 
@@ -92,6 +97,9 @@ for i in $(seq 1 "$MAX_SLICES"); do
         | tee -a "$LOG"
       exit 75
     fi
+    echo "[run_sliced] cooling down ${STALL_COOLDOWN}s (wedged sessions" \
+         "reset only when quiet)" >> "$LOG"
+    sleep "$STALL_COOLDOWN"
   else
     stalls=0
   fi

@@ -9,7 +9,8 @@ SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts",
 
 
 def _run(tmp_path, env_extra, *cmd):
-    env = {**os.environ, "LOG": str(tmp_path / "run.log"), **env_extra}
+    env = {**os.environ, "LOG": str(tmp_path / "run.log"),
+           "STALL_COOLDOWN": "1", **env_extra}
     return subprocess.run(["bash", SCRIPT, *cmd], env=env,
                           capture_output=True, text=True, timeout=120)
 
