@@ -65,6 +65,55 @@ def warp_by_disparity(image, disp):
     return out * valid, valid
 
 
+def warp_by_disparity_scan(image, disp, max_disp: int = 192):
+    """Gather-free warp: identical math to warp_by_disparity for
+    disp in [0, max_disp], restructured for the TPU.
+
+    Bilinear sampling along W is a sum of hat-weighted integer shifts:
+        left_est[w] = sum_d max(0, 1 - |disp[w] - d|) * image[w - d]
+    — a lax.scan of vectorized shift+mask+fma passes instead of two
+    take_along_axis gathers (TPU gathers serialize per element; the
+    measured photometric step was gather-bound). The hat weights
+    reproduce the lerp exactly: at x = w - disp, only d = floor(disp)
+    and d+1 have nonzero weight, equal to (1-frac, frac). Out-of-range
+    source columns (x < 0) get zero weight from the w >= d masks, and
+    the validity mask matches the gather version's zero-border rule.
+    """
+    b, h, w, c = image.shape
+    dmax = int(min(max_disp, w))  # shifts beyond W contribute nothing
+
+    col = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+
+    def body(acc, d):
+        df = d.astype(jnp.float32)
+        weight = jnp.maximum(0.0, 1.0 - jnp.abs(disp - df))
+        # image[w - d] with zero fill for w < d: a static-shape dynamic
+        # shift along W (lax-friendly, no wraparound contribution)
+        shifted = jnp.roll(image, d, axis=2)
+        keep = (col >= df).astype(image.dtype)[..., None]
+        acc = acc + (weight[..., None] * (shifted * keep)).astype(acc.dtype)
+        return acc, None
+
+    acc = jnp.zeros_like(image, dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(dmax + 1))
+    x = col - disp
+    valid = ((x >= 0) & (x <= w - 1)).astype(image.dtype)[..., None]
+    return acc.astype(image.dtype) * valid, valid
+
+
+def _use_scan_warp() -> bool:
+    """Scan warp on TPU (gather-bound there), gather warp elsewhere;
+    RAG_TPU_SCAN_WARP=0/1 forces."""
+    import os
+
+    v = os.environ.get("RAG_TPU_SCAN_WARP")
+    if v is not None:
+        return v == "1"
+    import jax as _jax
+
+    return _jax.default_backend() not in ("cpu",)
+
+
 def _avg_pool3(x):
     """3x3 valid-window mean over H,W of an NHWC array (torch
     F.avg_pool2d(kernel_size=3) has stride=3; here we keep stride 3 to
@@ -93,7 +142,8 @@ def photometric_loss(disp_est, left, right, axis=None):
     over equal-sized shards, so the data-parallel reduction is a pmean.
     """
     from rag_tpu.parallel.axis import pmean_if
-    left_est, _ = warp_by_disparity(right, disp_est)
+    warp = warp_by_disparity_scan if _use_scan_warp() else warp_by_disparity
+    left_est, _ = warp(right, disp_est)
     recon = 0.85 * jnp.mean(ssim(left, left_est)) + 0.15 * jnp.mean(
         jnp.abs(left - left_est)
     )

@@ -1,5 +1,7 @@
 """Self-supervised variant: color transfer, pretrain + photometric driver."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -88,3 +90,32 @@ def test_selfsup_two_task_run():
     for t in range(2):
         for u in range(t + 1):
             assert np.isfinite(matrix.m["EPE"][t, u])
+
+
+def test_scan_warp_matches_gather_warp():
+    """The TPU (gather-free) warp formulation is the same math as the
+    reference-shaped gather warp: hat-weighted shift sum == bilinear
+    lerp, identical validity mask, matching disparity gradients."""
+    import numpy as np
+
+    from rag_tpu.train.losses import (
+        warp_by_disparity,
+        warp_by_disparity_scan,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((2, 8, 32, 3)), jnp.float32)
+    disp = jnp.asarray(rng.uniform(0, 12.0, (2, 8, 32)), jnp.float32)
+    a, va = warp_by_disparity(img, disp)
+    b, vb = warp_by_disparity_scan(img, disp)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # integer disparities hit the lerp ends exactly
+    di = jnp.asarray(rng.integers(0, 12, (2, 8, 32)), jnp.float32)
+    ai, _ = warp_by_disparity(img, di)
+    bi, _ = warp_by_disparity_scan(img, di)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))
+    g1 = jax.grad(lambda d: (warp_by_disparity(img, d)[0] ** 2).sum())(disp)
+    g2 = jax.grad(
+        lambda d: (warp_by_disparity_scan(img, d)[0] ** 2).sum())(disp)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
