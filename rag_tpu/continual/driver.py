@@ -422,14 +422,15 @@ class ContinualDriver:
 
             # the reference evaluates BOTH the train and the valid loader
             # each epoch (rag.py:129-131); best-by-valid drives rollback.
-            tm = AverageMeterDict()
-            for b in train_data.batches(cfg.batch, False, seed=0):
-                tm.update({k: float(v) for k, v in eval_step(
-                    params, stats, *self._batch_args(b)).items()})
-            vm = AverageMeterDict()
-            for b in valid_data.batches(cfg.batch, False, seed=0):
-                vm.update({k: float(v) for k, v in eval_step(
-                    params, stats, *self._batch_args(b)).items()})
+            # Batched fetch: queue every eval before the single transfer
+            # (per-batch float() fetches serialized the loop on relay
+            # round trips and dominated canonical epoch wall time).
+            tm = AverageMeterDict().update_batched(
+                [eval_step(params, stats, *self._batch_args(b))
+                 for b in train_data.batches(cfg.batch, False, seed=0)])
+            vm = AverageMeterDict().update_batched(
+                [eval_step(params, stats, *self._batch_args(b))
+                 for b in valid_data.batches(cfg.batch, False, seed=0)])
             tv, v = tm.mean(), vm.mean()
             self.log(f"[{tag} t{t}] epoch {epoch} lr {lr:.5f} "
                      f"train loss {tv.get('loss', 0):.3f} "
@@ -469,10 +470,10 @@ class ContinualDriver:
         if key not in self._eval_cache:
             self._eval_cache[key] = self._eval_step_for(specs)
         eval_step = self._eval_cache[key]
-        m = AverageMeterDict()
-        for b in test_data.batches(batch, False, seed=0, drop_last=False):
-            m.update({k: float(v) for k, v in eval_step(
-                params, stats, *self._batch_args(b)).items()})
+        m = AverageMeterDict().update_batched(
+            [eval_step(params, stats, *self._batch_args(b))
+             for b in test_data.batches(batch, False, seed=0,
+                                        drop_last=False)])
         return m.mean()
 
     def train_router(self, t: int, train_datasets, test_datasets):

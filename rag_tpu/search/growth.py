@@ -294,22 +294,24 @@ class OpSearch:
             opt_state = optimizer.init(params)
             opt_state = _inject_momentum(opt_state, momentum, trainable)
 
-            train_m = AverageMeterDict()
+            # deferred bulk fetches (see AverageMeterDict.update_batched)
+            outs = []
             for b in train_data.batches(cfg.batch, True, seed=epoch,
                                         indices=train_idx):
                 params, stats, opt_state, scalars = train_step(
                     params, stats, opt_state, lr, *self._batch_args(b))
-                train_m.update({k: float(v) for k, v in scalars.items()})
+                outs.append(scalars)
+            train_m = AverageMeterDict().update_batched(outs)
             momentum.update(_extract_momentum(opt_state, trainable))
 
-            valid_m = AverageMeterDict()
+            outs = []
             for step_i, b in enumerate(train_data.batches(
                     cfg.batch, False, seed=0, indices=valid_idx)):
                 if (cfg.eval_max_batches is not None
                         and step_i >= cfg.eval_max_batches):
                     break
-                scalars = eval_step(params, stats, *self._batch_args(b))
-                valid_m.update({k: float(v) for k, v in scalars.items()})
+                outs.append(eval_step(params, stats, *self._batch_args(b)))
+            valid_m = AverageMeterDict().update_batched(outs)
 
             net.write_back(arch, params, stats)
 

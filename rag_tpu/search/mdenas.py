@@ -266,21 +266,23 @@ class CellSearch:
             fea_ops = jnp.asarray(ops["normal"])
             mat_ops = jnp.asarray(ops["reduce"])
 
-            train_m = AverageMeterDict()
+            # fetches are deferred to one bulk transfer per loop: a
+            # per-step float() fetch serializes every step on a relay
+            # round trip (values are bit-identical either way)
+            outs = []
             for b in train_data.batches(cfg.batch, True, seed=epoch,
                                         indices=train_idx):
                 self.params, self.stats, self.opt_state, scalars = self._train_step(
                     self.params, self.stats, self.opt_state, lr,
                     *self._batch_args(b), fea_ops, mat_ops)
-                train_m.update({k: float(v) for k, v in scalars.items()})
+                outs.append(scalars)
+            train_m = AverageMeterDict().update_batched(outs)
 
-            valid_m = AverageMeterDict()
-            for b in train_data.batches(cfg.batch, False, seed=0,
-                                        indices=valid_idx):
-                scalars = self._eval_step(
-                    self.params, self.stats, *self._batch_args(b),
-                    fea_ops, mat_ops)
-                valid_m.update({k: float(v) for k, v in scalars.items()})
+            valid_m = AverageMeterDict().update_batched(
+                [self._eval_step(self.params, self.stats,
+                                 *self._batch_args(b), fea_ops, mat_ops)
+                 for b in train_data.batches(cfg.batch, False, seed=0,
+                                             indices=valid_idx)])
 
             tm, vm = train_m.mean(), valid_m.mean()
             quality = self._quality(vm)

@@ -169,3 +169,24 @@ class TestParityWithReferencePort:
         }
         for k in want:
             assert got[k] == pytest.approx(want[k], rel=1e-5, abs=1e-6), k
+
+
+def test_update_batched_is_bit_identical_to_sequential():
+    """update_batched transfers the same f32 scalars in one fetch — every
+    meter value must match the per-batch float() path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from rag_tpu.metrics.meters import AverageMeterDict
+
+    rng = np.random.default_rng(0)
+    outs = [{"loss": jnp.float32(rng.standard_normal()),
+             "D1": jnp.float32(rng.uniform()),
+             "EPE": jnp.float32(rng.uniform(0, 30))} for _ in range(7)]
+    seq = AverageMeterDict()
+    for o in outs:
+        seq.update({k: float(v) for k, v in o.items()})
+    bat = AverageMeterDict().update_batched(outs)
+    assert seq.count == bat.count
+    for k in seq.data:
+        assert seq.data[k] == bat.data[k], k  # exact, not approx
+    assert AverageMeterDict().update_batched([]).mean() == {}
