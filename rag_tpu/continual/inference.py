@@ -82,20 +82,27 @@ class RoutedInference:
                  batch: int = 1) -> Dict[str, float]:
         """Evaluate a dataset: fixed task path, or routed when task=None.
         Routed evaluation runs per-frame through the predicted paths."""
+        if task is not None:
+            # fixed-path eval: queue every batch, ONE device fetch
+            # (AverageMeterDict.update_batched — per-batch float()
+            # fetches serialize the loop on relay round trips)
+            _, params, stats = self.net.path(self.net.archis[task])
+            step = self._eval_step(task)
+            return AverageMeterDict().update_batched(
+                [step(params, stats, b["left"], b["right"], b["disparity"])
+                 for b in dataset.batches(batch, False, seed=0,
+                                          drop_last=False)]).mean()
+        # routed eval: the per-batch route() fetch is inherent (the host
+        # picks each frame's path), but the metric fetches still batch
         m = AverageMeterDict()
         for b in dataset.batches(batch, False, seed=0, drop_last=False):
-            if task is not None:
-                _, params, stats = self.net.path(self.net.archis[task])
-                scalars = self._eval_step(task)(
-                    params, stats, b["left"], b["right"], b["disparity"])
-                m.update({k: float(v) for k, v in scalars.items()})
-            else:
-                tasks = self.route(b["left"])
-                for t in np.unique(tasks):
-                    idx = np.nonzero(tasks == t)[0]
-                    _, params, stats = self.net.path(self.net.archis[int(t)])
-                    scalars = self._eval_step(int(t))(
-                        params, stats, b["left"][idx], b["right"][idx],
-                        b["disparity"][idx])
-                    m.update({k: float(v) for k, v in scalars.items()})
+            tasks = self.route(b["left"])
+            outs = []
+            for t in np.unique(tasks):
+                idx = np.nonzero(tasks == t)[0]
+                _, params, stats = self.net.path(self.net.archis[int(t)])
+                outs.append(self._eval_step(int(t))(
+                    params, stats, b["left"][idx], b["right"][idx],
+                    b["disparity"][idx]))
+            m.update_batched(outs)
         return m.mean()
