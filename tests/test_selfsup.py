@@ -119,3 +119,62 @@ def test_scan_warp_matches_gather_warp():
     g2 = jax.grad(
         lambda d: (warp_by_disparity_scan(img, d)[0] ** 2).sum())(disp)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_photometric_improves_after_adequate_pretrain():
+    """Selfsup convergence canary (round 5). The photometric loss has a
+    trivial minimum at constant disparity; a weak supervised pretrain
+    leaves the model outside the photometric basin and the fine-tune
+    collapses there (observed on-chip: 9-epoch pretrain -> D1 pinned at
+    89% with disp std 0.35 px). With an adequate pretrain the photometric
+    fine-tune must IMPROVE scene EPE and keep the prediction non-degenerate."""
+    from rag_tpu.models.stereo import (
+        build_head_specs,
+        build_site_specs,
+        init_sites,
+        stereo_forward,
+    )
+    from rag_tpu.search.genotype import default_genotype
+    from rag_tpu.train.trainer import (
+        make_eval_step,
+        make_optimizer,
+        make_selfsup_train_step,
+        make_train_step,
+    )
+    from rag_tpu.data.synthetic import WEATHER_STYLES
+
+    g = default_genotype()
+    specs = {**build_site_specs(g), **build_head_specs()}
+    opt = make_optimizer(3e-4, 5.0)
+    sup = make_train_step(specs, frozenset(specs), opt, maxdisp=48)
+    pho = make_selfsup_train_step(specs, frozenset(specs), opt, maxdisp=48)
+    ev = make_eval_step(specs, maxdisp=48)
+
+    scene = SyntheticStereoDataset(16, 48, 96, seed=10, max_disp=14.0,
+                                   style=WEATHER_STYLES[0])
+    pre = SyntheticStereoDataset(16, 48, 96, seed=777, max_disp=28.8)
+    sb = list(scene.batches(4, shuffle=True, seed=0))
+    pb = list(pre.batches(4, shuffle=True, seed=0))
+    t = sb[0]
+
+    params, stats = init_sites(jax.random.PRNGKey(0), specs)
+    p, s, o = params, stats, opt.init(params)
+    for e in range(15):
+        for b in pb:
+            p, s, o, _ = sup(p, s, o, 1e-3, b["left"], b["right"],
+                             b["disparity"])
+    epe_pre = float(ev(p, s, t["left"], t["right"], t["disparity"])["EPE"])
+
+    o = opt.init(p)
+    for e in range(20):
+        for b in sb:
+            p, s, o, _ = pho(p, s, o, 1e-3, b["left"], b["right"],
+                             b["disparity"])
+    epe_post = float(ev(p, s, t["left"], t["right"], t["disparity"])["EPE"])
+    assert epe_post < epe_pre, (epe_pre, epe_post)  # calibrated 9.2 -> ~5.1
+    # non-degenerate: the constant-disparity collapse has per-pixel std
+    # well under 1 px; a working model tracks real disparity variation
+    disp, _ = stereo_forward(specs, p, s, jnp.asarray(t["left"]),
+                             jnp.asarray(t["right"]), maxdisp=48)
+    assert float(jnp.std(disp)) > 1.0
