@@ -169,11 +169,14 @@ def _use_device_cache() -> bool:
 
 # process-wide budget for device-resident sample sets: a multi-task run
 # caches train+valid+test for every task concurrently (~2 GB per 256-pair
-# canonical stereo scene), so unbounded caching can eat the chip's HBM
-# where the old host-numpy path ran fine (ADVICE r4). Datasets over
-# budget fall back to host numpy batches with a one-time log line.
+# canonical stereo scene) — by task 3 that collides with model/search
+# activations in HBM (RESOURCE_EXHAUSTED measured mid-canonical-run,
+# round 5). The cache is LRU: when a new dataset would exceed the
+# budget, the least-recently-USED datasets (completed tasks' sets that
+# only the router/report stages revisit) are evicted — re-uploaded on
+# next touch — instead of refusing to cache or OOMing the chip.
 _dev_cache_bytes = 0
-_dev_budget_warned = False
+_dev_cache_lru: "list" = []  # datasets with a live cache, LRU-first
 
 
 def _device_data_budget() -> int:
@@ -183,26 +186,46 @@ def _device_data_budget() -> int:
                                     "6144")) * 2**20)
 
 
+def _evict(ds) -> None:
+    global _dev_cache_bytes
+    _dev_cache_bytes -= ds._dev_cache_bytes
+    ds._dev_cache = None
+    ds._dev_cache_bytes = 0
+
+
 def _maybe_device_cache(ds):
     """ds must expose _samples() and may grow a _dev_cache attribute."""
-    global _dev_cache_bytes, _dev_budget_warned
+    global _dev_cache_bytes
     if not _use_device_cache():
         return ds._samples()
     if getattr(ds, "_dev_cache", None) is None:
         samples = ds._samples()
         nbytes = sum(np.asarray(v).nbytes for v in samples.values())
-        if _dev_cache_bytes + nbytes > _device_data_budget():
-            if not _dev_budget_warned:
-                _dev_budget_warned = True
-                print(f"[data] device sample cache budget reached "
-                      f"({_dev_cache_bytes / 2**20:.0f} MB cached, "
-                      f"+{nbytes / 2**20:.0f} MB requested > "
-                      f"{_device_data_budget() / 2**20:.0f} MB; raise "
-                      f"RAG_TPU_DEVICE_DATA_BUDGET_MB to cache more) — "
-                      f"host numpy batches for further datasets")
+        budget = _device_data_budget()
+        while (_dev_cache_bytes + nbytes > budget
+               and _dev_cache_lru and _dev_cache_lru[0] is not ds):
+            victim = _dev_cache_lru.pop(0)
+            print(f"[data] device cache budget: evicting a "
+                  f"{victim._dev_cache_bytes / 2**20:.0f} MB sample set "
+                  f"(LRU) to fit {nbytes / 2**20:.0f} MB")
+            _evict(victim)
+        if nbytes > budget:
+            # one dataset alone over budget: host numpy batches
+            print(f"[data] dataset ({nbytes / 2**20:.0f} MB) exceeds the "
+                  f"device cache budget ({budget / 2**20:.0f} MB); host "
+                  f"numpy batches (raise RAG_TPU_DEVICE_DATA_BUDGET_MB)")
             return samples
         import jax.numpy as jnp
 
         ds._dev_cache = {k: jnp.asarray(v) for k, v in samples.items()}
+        ds._dev_cache_bytes = nbytes
         _dev_cache_bytes += nbytes
+        _dev_cache_lru.append(ds)
+    else:
+        # refresh recency
+        try:
+            _dev_cache_lru.remove(ds)
+        except ValueError:
+            pass
+        _dev_cache_lru.append(ds)
     return ds._dev_cache
