@@ -26,14 +26,23 @@ from rag_tpu.train.trainer import (
 class SyntheticDepthDataset:
     """Fixed, seeded set of images with a depth cue (brightness ~ 1/depth)
     + exact gt depth. Samples are generated once and epochs re-visit them
-    shuffled — the reference protocol trains on a fixed per-scene set."""
+    shuffled — the reference protocol trains on a fixed per-scene set.
+
+    `style` applies a per-scene appearance transform (same WEATHER_STYLES
+    family the stereo scenes use) — the synthetic analogue of the
+    reference depth protocol's weather SUBSETS (rag_depth lists are
+    cloudy/foggy/rainy/sunny splits), which are what make the Scene Router
+    separable. Styleless scenes (seed-only) are appearance-identical by
+    construction, so mean+std routing on them is chance — measured on the
+    r3b rebuild (BASELINE.md depth router row)."""
 
     def __init__(self, num_samples: int, h: int, w: int, seed: int = 0,
-                 max_depth: float = 60.0):
+                 max_depth: float = 60.0, style=None):
         self.num_samples = num_samples
         self.h, self.w = h, w
         self.seed = seed
         self.max_depth = max_depth
+        self.style = style
         self._cache = None
 
     def __len__(self):
@@ -52,8 +61,12 @@ class SyntheticDepthDataset:
             base = rng.standard_normal(
                 (n, self.h, self.w, 3)).astype(np.float32) * 0.3
             cue = (1.0 / depth)[..., None] * 10.0
-            self._cache = {"image": (base + cue).astype(np.float32),
-                           "depth": depth}
+            image = (base + cue).astype(np.float32)
+            if self.style:
+                from rag_tpu.data.synthetic import _apply_style
+
+                image, _ = _apply_style(rng, image, image, self.style)
+            self._cache = {"image": image, "depth": depth}
         return self._cache
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,

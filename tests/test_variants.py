@@ -143,3 +143,24 @@ class TestSceneRouter:
         router.train([d0, d1], epochs=5, batch=8)
         acc = router.accuracy([d0, d1])
         assert acc > 0.9, acc
+
+    def test_depth_router_separates_weather_styled_scenes(self):
+        """The r3b depth rebuild measured the router at CHANCE on
+        styleless scenes (appearance-identical by construction —
+        BASELINE.md depth router row). With per-scene weather styles
+        (the synthetic analogue of the reference's cloudy/foggy/rainy/
+        sunny depth subsets, now the cli default) the same mean+std
+        router separates depth scenes too — the mechanism is variant-
+        generic, the earlier chance result was a data property."""
+        from rag_tpu.continual.depth_driver import SyntheticDepthDataset
+        from rag_tpu.data.synthetic import WEATHER_STYLES
+        from rag_tpu.models.router import SceneRouter
+
+        scenes = [SyntheticDepthDataset(32, 24, 48, seed=10 + t,
+                                        style=WEATHER_STYLES[t])
+                  for t in range(3)]
+        router = SceneRouter(num_tasks=3, seed=0, lr=3e-3,
+                             input_key="image")
+        router.train(scenes, epochs=20, batch=8)
+        acc = router.accuracy(scenes)
+        assert acc > 0.9, acc
