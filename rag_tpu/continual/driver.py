@@ -131,8 +131,11 @@ class ContinualDriver:
         self.net: Optional[GrowableStereoNet] = None
         self.router = None  # SceneRouter when cfg.use_router
         self.router_eval = None  # routed-vs-oracle report (router_report)
-        self.matrix = ForgettingMatrix(config.num_tasks,
-                                       ("D1", "EPE", "loss", "Thres1"))
+        # all six per-cell eval scalars — the reference prints the full
+        # D1/EPE/Thres1-3 table per task (src/run.py:149-234)
+        self.matrix = ForgettingMatrix(
+            config.num_tasks,
+            ("D1", "EPE", "loss", "Thres1", "Thres2", "Thres3"))
         self._eval_cache = {}
         # completed forgetting-row evals, {t: {u: {metric: float}}} —
         # persisted in every checkpoint's extra so a resumed slice never
